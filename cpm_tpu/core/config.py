@@ -1,0 +1,78 @@
+"""Frozen configuration dataclasses.
+
+The reference exposes these as Inviwo properties with onChange-driven
+invalidation (processor/progressivephotontracercl.cpp:80-184) and as OpenCL
+``-D`` compile defines (photontracercl.cpp:198-210). Here they are static
+Python dataclasses: changing one re-specializes the jitted pipeline, the
+exact analog of a kernel recompile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from cpm_tpu.core import constants
+from cpm_tpu.ops import phase as phase_mod
+
+
+@dataclass(frozen=True)
+class TracerConfig:
+    """Photon-tracing stage configuration.
+
+    Mirrors ProgressivePhotonTracerCL properties
+    (progressivephotontracercl.cpp:80-103): max scattering events (1-16),
+    sampling rate (-> step size), material phase function, progressive alpha.
+    """
+
+    max_interactions: int = 1
+    phase_type: int = phase_mod.ISOTROPIC
+    phase_g: float = 0.0  # HG anisotropy / Schlick k
+    tau_max: float = 1.0  # Woodcock majorant scale
+    sampling_rate: float = 2.0
+    alpha: float = 0.3  # progressive radius alpha (Knaus-Zwicker)
+    max_steps: int = 20000  # hard cap on wavefront iterations (safety net)
+    no_single_scattering: bool = False  # reference define NO_SINGLE_SCATTERING
+    radius_rel: float = constants.DEFAULT_RADIUS_REL
+
+
+@dataclass(frozen=True)
+class SplatConfig:
+    """Light-volume splatting configuration
+    (photontolightvolumeprocessorcl.cpp:144-170)."""
+
+    volume_size_from_radius: bool = True  # ceil(1/r_rel) per axis
+    volume_dim: int = 64  # used when volume_size_from_radius is False
+    footprint: int = 4  # voxels per axis covered per photon (static)
+    incremental_threshold: float = 0.6  # fraction above which a full resplat runs
+
+
+@dataclass(frozen=True)
+class RecomputeConfig:
+    """Correlated selective-recomputation configuration
+    (progressivephotontracercl.cpp:86-101)."""
+
+    max_photons_fraction: float = 0.1  # "max photons per update %"
+    equal_importance: bool = False  # round-robin instead of importance
+    equal_importance_percentage: int = 10
+    grid_cell_size: int = constants.DEFAULT_GRID_CELL_SIZE
+    importance_steps: int = 64  # DDA segment resolution cap
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Camera ray-march compositing configuration (LightingRaycaster analog)."""
+
+    width: int = 512
+    height: int = 512
+    sampling_rate: float = 1.0
+    ambient: float = 0.05
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    tracer: TracerConfig = field(default_factory=TracerConfig)
+    splat: SplatConfig = field(default_factory=SplatConfig)
+    recompute: RecomputeConfig = field(default_factory=RecomputeConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    photons_x: int = 256  # photon grid (photons = photons_x * photons_y)
+    photons_y: int = 256

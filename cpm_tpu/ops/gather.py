@@ -1,0 +1,104 @@
+"""Camera ray-march compositing with light-volume sampling.
+
+Reference parity: Inviwo's ``LightingRaycaster`` consuming the light volume
+(wired in workspaces/CorrelatedPhotonMappingSingleVolume.inv) together with
+``EntryExitPoints``/``CubeProxyGeometry``. Re-designed as one fused jitted
+ray-march: per-pixel entry/exit spans against the texture-space unit box,
+then a fixed-trip-count ``lax.fori_loop`` over depth steps in which EVERY
+pixel samples density, transfer function and light volume — dense (H*W)
+vector work per step, ideal for the VPU/XLA fusion.
+
+Physics: emission-absorption DVR; extinction = TF opacity *
+SAMPLING_BASE_INTERVAL_RCP (transmittance.cl:40), emitted radiance =
+TF color * (irradiance + ambient). The light volume already carries the
+isotropic phase factor and irradiance normalization (splat stage), matching
+what the reference's raycaster receives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cpm_tpu.core import constants
+from cpm_tpu.core.camera import Camera
+from cpm_tpu.core.config import RenderConfig
+from cpm_tpu.core.types import TransferFunction, Volume
+from cpm_tpu.ops import intersect
+from cpm_tpu.ops.sampling import (sample_volume_trilinear,
+                                  sample_volume_trilinear_vec)
+
+Array = jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("config", "n_steps"))
+def render(volume: Volume, tf: TransferFunction, light_volume: Array,
+           camera: Camera, config: RenderConfig,
+           n_steps: int | None = None) -> Array:
+    """Render an (H, W, 4) RGBA image.
+
+    ``light_volume`` is the (D, H, W, 3) irradiance grid from the splat
+    stage. A fixed number of steps with masking keeps shapes static.
+    """
+    h, w = config.height, config.width
+    origins, dirs = camera.rays(w, h)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    hit, t0, t1 = intersect.ray_box(o, d)
+    t0 = jnp.where(hit, t0, 0.0)
+    t1 = jnp.where(hit, t1, -1.0)
+
+    dim_max = max(volume.data.shape)
+    if n_steps is None:
+        n_steps = int(3 ** 0.5 * dim_max * config.sampling_rate) + 1
+    dt = (3 ** 0.5) / (n_steps - 1) if n_steps > 1 else 1.0
+    sigma_scale = constants.SAMPLING_BASE_INTERVAL_RCP
+
+    npix = o.shape[0]
+
+    def step(i, carry):
+        rgb, trans = carry
+        t = t0 + (i + 0.5) * dt
+        inside = t <= t1
+        p = o + t[..., None] * d
+        vol = sample_volume_trilinear(volume.data, p)
+        color = tf.sample(vol)
+        sigma_t = color[:, 3] * sigma_scale
+        light = sample_volume_trilinear_vec(light_volume, p)
+        emit = color[:, :3] * (light + config.ambient)
+        # Per-step analytic transmittance segment.
+        seg_t = jnp.exp(-sigma_t * dt)
+        contrib = trans[:, None] * (1.0 - seg_t)[:, None] * emit
+        rgb = rgb + jnp.where(inside[:, None], contrib, 0.0)
+        trans = jnp.where(inside, trans * seg_t, trans)
+        return rgb, trans
+
+    rgb0 = jnp.zeros((npix, 3), jnp.float32)
+    trans0 = jnp.ones((npix,), jnp.float32)
+    rgb, trans = jax.lax.fori_loop(0, n_steps, step, (rgb0, trans0))
+    alpha = 1.0 - trans
+    img = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+    return img.reshape(h, w, 4)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def transmittance_to_point(volume: Volume, tf: TransferFunction, origin: Array,
+                           target: Array, n_steps: int = 128) -> Array:
+    """Ray-march transmittance between two texture-space points (the analog
+    of ``transmittance`` in cl/transmittance.cl:42-62), used by tests and the
+    single-scattering oracle."""
+    delta = target - origin
+    length = jnp.linalg.norm(delta, axis=-1)
+    d = delta / jnp.maximum(length, 1e-8)[..., None]
+    dt = length / n_steps
+
+    def step(i, acc):
+        t = (i + 0.5) * dt
+        p = origin + t[..., None] * d
+        vol = sample_volume_trilinear(volume.data, p)
+        return acc + tf.sample(vol)[..., 3]
+
+    thick = jax.lax.fori_loop(0, n_steps, step, jnp.zeros_like(length))
+    return jnp.exp(-thick * dt * constants.SAMPLING_BASE_INTERVAL_RCP)

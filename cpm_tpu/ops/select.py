@@ -1,0 +1,67 @@
+"""Selective-recomputation photon selection: threshold + count + sort +
+budget, the chain the reference builds from clogs primitives.
+
+Reference parity: ProgressivePhotonTracerCL::process() steps
+(progressivephotontracercl.cpp:265-540):
+  thresholdKernel (cl/threshold.cl:32-40)   -> importance > 0 mask
+  clogs::Reduce                             -> count to recompute
+  indexToBufferKernel (cl/indextobuffer.cl) -> iota values
+  clogs::Radixsort (keys=importance)        -> priority order
+  budget = min(remaining, maxPhotonsPerUpdate% * N)
+            (progressivephotontracercl.cpp:374-388)
+  optional spatial re-sort of the selected indices (:425-475)
+
+TPU-first: one descending argsort over float keys replaces the subtractive
+uint radix trick; the budget is a *static* buffer size B with a validity
+mask (fixed shapes under jit, SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("budget", "spatial_sort"))
+def select_photons_to_recompute(importance: Array, budget: int,
+                                start_offset: Array | None = None,
+                                spatial_sort: bool = True):
+    """Pick the top-``budget`` photons by importance.
+
+    Args:
+      importance: (N,) float path importance (0 = no recompute needed).
+      budget: static max photons per update (ceil(% * N) at trace time).
+      start_offset: () int32 — photons already processed this round, so a
+        progressive drain across frames visits lower-priority photons next
+        (the reference's batch compaction, progressivephotontracercl.cpp:389-419).
+      spatial_sort: re-sort the selected ids ascending so the retrace batch
+        is memory-coherent (the reference's "spatial sorting" index sort,
+        :425-475 — light-sample id order approximates spatial order on the
+        emission plane).
+
+    Returns:
+      (indices (B,), valid (B,), n_remaining ()): ids to retrace, their
+      validity mask, and how many flagged photons remain *after* this batch
+      (drives progressive draining, :534-540).
+    """
+    n = importance.shape[0]
+    if start_offset is None:
+        start_offset = jnp.int32(0)
+    n_flagged = jnp.sum((importance > 0.0).astype(jnp.int32))
+    order = jnp.argsort(-importance)  # descending priority
+    ranks = start_offset + jnp.arange(budget, dtype=jnp.int32)
+    take = jnp.minimum(ranks, n - 1)
+    indices = order[take].astype(jnp.int32)
+    valid = (ranks < n_flagged)
+    if spatial_sort:
+        # Invalid lanes sort to the end (key = n).
+        skey = jnp.where(valid, indices, n)
+        perm = jnp.argsort(skey)
+        indices = indices[perm]
+        valid = valid[perm]
+    n_remaining = jnp.maximum(n_flagged - (start_offset + budget), 0)
+    return indices, valid, n_remaining

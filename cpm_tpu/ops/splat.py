@@ -1,0 +1,140 @@
+"""Photon splatting into the light volume (irradiance grid).
+
+Reference parity: ``splatPhoton`` + ``splatPhotonsToLightVolumeKernel`` /
+``splatSelectedPhotonsToLightVolumeKernel``
+(modules/progressivephotonmapping/cl/photonstolightvolume.cl:31-202) with the
+Epanechnikov density-estimation kernel (cl/densityestimationkernel.cl:43-96).
+
+TPU-first redesign: TPUs have no global float atomics, so the reference's
+CAS-loop ``atomic_add_float_global`` (photonstolightvolume.cl:13-29) becomes
+a *deterministic* scatter-add: each photon expands into a static
+footprint^3 block of (cell, weight) contributions which XLA scatter-adds
+into the grid. Determinism (same seed => bit-identical grid) replaces the
+reference's racy-but-commutative atomics; see tests/test_splat.py.
+
+The voxel-AABB enumeration matches photonstolightvolume.cl:45-47:
+  start = max(0, int(texToIdx(pos - r)));  end = min(int(texToIdx(pos + r)) + 1, dim)
+with texToIdx(p) = p*dim - 0.5 and truncation toward zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cpm_tpu.core import constants
+from cpm_tpu.core.types import (PhotonData, relative_irradiance_scale)
+
+Array = jnp.ndarray
+
+
+def epanechnikov(x: Array) -> Array:
+    """0.75*(1 - x^2) for x <= 1 else 0 (densityestimationkernel.cl:56-60)."""
+    return jnp.where(x <= 1.0, 0.75 * (1.0 - x * x), 0.0)
+
+
+def light_volume_dim(radius_rel: float) -> int:
+    """Output size ceil(1/r_rel) per axis
+    (photontolightvolumeprocessorcl.cpp:474-488)."""
+    import math
+    return int(math.ceil(1.0 / radius_rel))
+
+
+def _splat_flat(positions: Array, powers: Array, valid: Array,
+                radius_rel: Array, scale: Array, out_dim: tuple,
+                footprint: int) -> Array:
+    """Scatter-add a flat list of photons into a (D, H, W, 3) grid."""
+    d, h, w = out_dim
+    dims = jnp.array([w, h, d], jnp.float32)
+    n = positions.shape[0]
+    f = footprint
+
+    r = radius_rel
+    # Voxel AABB of the photon sphere (truncation toward zero like convert_int).
+    start = jnp.maximum(
+        0, jnp.trunc((positions - r) * dims - 0.5).astype(jnp.int32))
+    end = jnp.minimum(
+        jnp.trunc((positions + r) * dims - 0.5).astype(jnp.int32) + 1,
+        jnp.array([w, h, d], jnp.int32))
+
+    offs = jnp.arange(f, dtype=jnp.int32)
+    # (n, f) per axis coordinates
+    cx = start[:, 0:1] + offs[None, :]
+    cy = start[:, 1:2] + offs[None, :]
+    cz = start[:, 2:3] + offs[None, :]
+    inx = cx < end[:, 0:1]
+    iny = cy < end[:, 1:2]
+    inz = cz < end[:, 2:3]
+
+    # Voxel-center texture coordinates per axis (indexToTexture).
+    tx = (cx.astype(jnp.float32) + 0.5) / w
+    ty = (cy.astype(jnp.float32) + 0.5) / h
+    tz = (cz.astype(jnp.float32) + 0.5) / d
+
+    dx = tx - positions[:, 0:1]
+    dy = ty - positions[:, 1:2]
+    dz = tz - positions[:, 2:3]
+    # (n, f, f, f) squared distances, z-major to match [z][y][x] layout
+    d2 = (dz[:, :, None, None] ** 2 + dy[:, None, :, None] ** 2
+          + dx[:, None, None, :] ** 2)
+    weight = epanechnikov(jnp.sqrt(d2) / r)
+    inside = (inz[:, :, None, None] & iny[:, None, :, None]
+              & inx[:, None, None, :] & valid[:, None, None, None])
+    weight = jnp.where(inside, weight, 0.0)
+
+    cell = (cz[:, :, None, None] * (w * h) + cy[:, None, :, None] * w
+            + cx[:, None, None, :])
+    cell = jnp.where(inside, cell, d * h * w)  # OOB -> dropped
+
+    contrib = weight[..., None] * (powers * scale)[:, None, None, None, :]
+    flat_cell = cell.reshape(-1)
+    flat_contrib = contrib.reshape(-1, 3)
+    grid = jnp.zeros((d * h * w, 3), jnp.float32)
+    grid = grid.at[flat_cell].add(flat_contrib, mode="drop")
+    return grid.reshape(d, h, w, 3)
+
+
+@partial(jax.jit, static_argnames=("out_dim", "footprint"))
+def splat_all(photons: PhotonData, out_dim: tuple, footprint: int = 4) -> Array:
+    """Splat every stored photon (the full path,
+    photontolightvolumeprocessorcl.cpp:299-339).
+
+    Returns a (D, H, W, 3) RGB irradiance grid already scaled by
+    isotropicPhase * relativeIrradianceScale (host-side scale computation at
+    photontolightvolumeprocessorcl.cpp:388-392).
+    """
+    i, n, _ = photons.positions.shape
+    pos = photons.positions.reshape(i * n, 3)
+    pow_ = photons.powers.reshape(i * n, 3)
+    valid = pos[:, 0] < 1e30
+    scale = (jnp.float32(constants.ISOTROPIC_PHASE)
+             * relative_irradiance_scale(n, photons.radius_rel))
+    return _splat_flat(pos, pow_, valid, photons.radius_rel, scale, out_dim,
+                       footprint)
+
+
+@partial(jax.jit, static_argnames=("out_dim", "footprint"))
+def splat_selected(photons: PhotonData, indices: Array, valid: Array,
+                   out_dim: tuple, footprint: int = 4,
+                   multiplier: float | Array = 1.0) -> Array:
+    """Splat only the photons whose light-sample ids are in ``indices``.
+
+    The ±multiplier mirrors splatSelectedPhotonsToLightVolumeKernel's
+    photonRadianceMultiplier (photonstolightvolume.cl:182-199): incremental
+    updates first remove (-1) the photon's previous contribution, then add
+    (+1) the retraced one. ``valid`` masks budget padding lanes.
+    """
+    i, n, _ = photons.positions.shape
+    b = indices.shape[0]
+    safe = jnp.where(valid, indices, 0)
+    pos = photons.positions[:, safe].reshape(i * b, 3)
+    pow_ = photons.powers[:, safe].reshape(i * b, 3)
+    lane_valid = jnp.broadcast_to(valid[None, :], (i, b)).reshape(i * b)
+    pvalid = lane_valid & (pos[:, 0] < 1e30)
+    scale = (jnp.float32(constants.ISOTROPIC_PHASE)
+             * relative_irradiance_scale(n, photons.radius_rel)
+             * jnp.float32(multiplier))
+    return _splat_flat(pos, pow_, pvalid, photons.radius_rel, scale, out_dim,
+                       footprint)
