@@ -88,12 +88,16 @@ def _splat_flat(positions: Array, powers: Array, valid: Array,
             + cx[:, None, None, :])
     cell = jnp.where(inside, cell, d * h * w)  # OOB -> dropped
 
-    contrib = weight[..., None] * (powers * scale)[:, None, None, None, :]
-    flat_cell = cell.reshape(-1)
-    flat_contrib = contrib.reshape(-1, 3)
-    grid = jnp.zeros((d * h * w, 3), jnp.float32)
-    grid = grid.at[flat_cell].add(flat_contrib, mode="drop")
-    return grid.reshape(d, h, w, 3)
+    scaled_pow = powers * scale  # (n, 3)
+    # Single rank-1 scatter-add with channels folded into the index: XLA
+    # TPU's scatter fast path (measured ~14 G scatter-adds/s on v5e) only
+    # triggers for rank-1 outputs with rank-1 indices; a (V, 3) row scatter
+    # falls off it by ~3 orders of magnitude.
+    contrib = weight[..., None] * scaled_pow[:, None, None, None, :]
+    cell3 = cell[..., None] * 3 + jnp.arange(3, dtype=jnp.int32)
+    g = jnp.zeros((d * h * w * 3 + 3,), jnp.float32)
+    g = g.at[cell3.reshape(-1)].add(contrib.reshape(-1), mode="drop")
+    return g[:d * h * w * 3].reshape(d, h, w, 3)
 
 
 @partial(jax.jit, static_argnames=("out_dim", "footprint"))

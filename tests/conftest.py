@@ -8,11 +8,15 @@ subprocesses with the flag set (SURVEY.md §4's multi-host-on-CPU recipe).
 
 import os
 
-# Force CPU unconditionally: the driver environment exports JAX_PLATFORMS=axon
-# (the TPU tunnel), and compiling every test over the tunnel is both slow and
-# non-hermetic. Benchmarks (bench.py) use the real chip; tests never should.
+# Force CPU unconditionally: the driver environment routes JAX to the TPU
+# tunnel (sitecustomize registers the 'axon' backend and sets the
+# jax_platforms CONFIG, which beats the JAX_PLATFORMS env var — so the env
+# var alone is not enough). Compiling every test over the tunnel is both
+# slow and non-hermetic. Benchmarks (bench.py) use the real chip; tests
+# never should.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402  (import after env setup)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -49,7 +49,8 @@ class TestSplatVsOracle:
         dim = (16, 16, 16)
         a = np.asarray(splat.splat_all(photons, dim, footprint=4))
         b = np.asarray(splat.splat_all(photons, dim, footprint=6))
-        np.testing.assert_allclose(a, b, rtol=1e-6)
+        # atol: scatter-add accumulation order differs with footprint size
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 class TestSplatProperties:
