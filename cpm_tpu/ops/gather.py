@@ -46,13 +46,26 @@ def render(volume: Volume, tf: TransferFunction, light_volume: Array,
     origins, dirs = camera.rays(w, h)
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
+    dim_max = max(volume.data.shape)
+    if n_steps is None:
+        n_steps = int(3 ** 0.5 * dim_max * config.sampling_rate) + 1
+    img = render_rays(volume, tf, light_volume, o, d, n_steps, config.ambient)
+    return img.reshape(h, w, 4)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "ambient"))
+def render_rays(volume: Volume, tf: TransferFunction, light_volume: Array,
+                o: Array, d: Array, n_steps: int,
+                ambient: float = 0.05) -> Array:
+    """Ray-march a flat (P, 3) ray bundle -> (P, 4) RGBA.
+
+    The shard-level primitive: :func:`render` maps pixels onto it on one
+    chip; the parallel layer shard_maps it over a pixel-sharded mesh axis.
+    """
     hit, t0, t1 = intersect.ray_box(o, d)
     t0 = jnp.where(hit, t0, 0.0)
     t1 = jnp.where(hit, t1, -1.0)
 
-    dim_max = max(volume.data.shape)
-    if n_steps is None:
-        n_steps = int(3 ** 0.5 * dim_max * config.sampling_rate) + 1
     dt = (3 ** 0.5) / (n_steps - 1) if n_steps > 1 else 1.0
     sigma_scale = constants.SAMPLING_BASE_INTERVAL_RCP
 
@@ -67,7 +80,7 @@ def render(volume: Volume, tf: TransferFunction, light_volume: Array,
         color = tf.sample(vol)
         sigma_t = color[:, 3] * sigma_scale
         light = sample_volume_trilinear_vec(light_volume, p)
-        emit = color[:, :3] * (light + config.ambient)
+        emit = color[:, :3] * (light + ambient)
         # Per-step analytic transmittance segment.
         seg_t = jnp.exp(-sigma_t * dt)
         contrib = trans[:, None] * (1.0 - seg_t)[:, None] * emit
@@ -79,8 +92,7 @@ def render(volume: Volume, tf: TransferFunction, light_volume: Array,
     trans0 = jnp.ones((npix,), jnp.float32)
     rgb, trans = jax.lax.fori_loop(0, n_steps, step, (rgb0, trans0))
     alpha = 1.0 - trans
-    img = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
-    return img.reshape(h, w, 4)
+    return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("n_steps",))

@@ -100,21 +100,25 @@ def _splat_flat(positions: Array, powers: Array, valid: Array,
     return g[:d * h * w * 3].reshape(d, h, w, 3)
 
 
-@partial(jax.jit, static_argnames=("out_dim", "footprint"))
-def splat_all(photons: PhotonData, out_dim: tuple, footprint: int = 4) -> Array:
+@partial(jax.jit, static_argnames=("out_dim", "footprint", "n_total"))
+def splat_all(photons: PhotonData, out_dim: tuple, footprint: int = 4,
+              n_total: int | None = None) -> Array:
     """Splat every stored photon (the full path,
     photontolightvolumeprocessorcl.cpp:299-339).
 
     Returns a (D, H, W, 3) RGB irradiance grid already scaled by
     isotropicPhase * relativeIrradianceScale (host-side scale computation at
-    photontolightvolumeprocessorcl.cpp:388-392).
+    photontolightvolumeprocessorcl.cpp:388-392). ``n_total`` overrides the
+    photon count in the irradiance normalization — the parallel layer passes
+    the GLOBAL count when each shard splats only its photon slice.
     """
     i, n, _ = photons.positions.shape
     pos = photons.positions.reshape(i * n, 3)
     pow_ = photons.powers.reshape(i * n, 3)
     valid = pos[:, 0] < 1e30
     scale = (jnp.float32(constants.ISOTROPIC_PHASE)
-             * relative_irradiance_scale(n, photons.radius_rel))
+             * relative_irradiance_scale(n_total if n_total is not None else n,
+                                         photons.radius_rel))
     return _splat_flat(pos, pow_, valid, photons.radius_rel, scale, out_dim,
                        footprint)
 

@@ -1,0 +1,167 @@
+"""Multi-chip distribution of the photon-mapping pipeline.
+
+The reference is a single-GPU app (SURVEY.md §2.9: no MPI/NCCL anywhere);
+this layer is the *new* TPU-native capability: SPMD over a
+``jax.sharding.Mesh`` with XLA collectives riding the ICI.
+
+Sharding design (jax-ml.github.io/scaling-book recipe):
+- mesh axis ``"data"``: photons / light samples / camera pixels are sharded
+  on their leading axis — pure data parallelism, zero communication during
+  the trace and ray-march loops.
+- the light volume is small (~65^3 x 3 floats ≈ 3 MB); every shard splats
+  its photon slice into a *private* partial grid and one ``psum`` over
+  ``"data"`` reduces them. Because the scatter-add inside each shard is a
+  deterministic segment reduction (no atomics) and psum has a fixed
+  reduction order over the mesh, the sharded grid is bit-reproducible and
+  equal to the single-chip grid up to float-add reassociation across shards
+  (tests assert allclose at 1e-5).
+- RNG streams are keyed by *global* lane id (``jax.random.fold_in``), so
+  photon trajectories are invariant to how lanes are laid out across chips
+  — the TPU analog of MWC64X skip-ahead stream splitting
+  (reference: modules/rndgenmwc64x/cl/randstategen.cl:39-48).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cpm_tpu.core.config import PipelineConfig
+from cpm_tpu.core.scene import Scene
+from cpm_tpu.core.types import LightSamples, PhotonData, TransferFunction, Volume
+from cpm_tpu.ops import gather, splat, tracer
+from cpm_tpu.pipeline import step as pstep
+from cpm_tpu.pipeline.state import PhotonMapState
+
+Array = jax.Array
+
+try:  # jax >= 0.4.31 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # noqa: F401
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D device mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_light_samples(ls: LightSamples, mesh: Mesh,
+                        axis_name: str = "data") -> LightSamples:
+    """Lay the light-sample bundle out shard-major over the mesh."""
+    sh = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+    return LightSamples(
+        origins=jax.device_put(ls.origins, sh),
+        directions=jax.device_put(ls.directions, sh),
+        powers=jax.device_put(ls.powers, sh),
+        tspan=jax.device_put(ls.tspan, sh),
+        iteration=jax.device_put(ls.iteration, rep),
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "out_dim", "mesh", "axis_name"))
+def sharded_trace_splat(volume: Volume, tf: TransferFunction,
+                        tf_scattering: TransferFunction,
+                        light_samples: LightSamples, key: Array,
+                        config, out_dim: tuple, mesh: Mesh,
+                        axis_name: str = "data"):
+    """Trace photons sharded over ``axis_name`` and reduce per-shard splat
+    grids with one psum.
+
+    Returns (photons sharded over lanes, replicated (D,H,W,3) light volume).
+    ``config`` is a TracerConfig; splat footprint/scale come from the photon
+    radius exactly as in the single-chip path.
+    """
+    n = light_samples.n
+    n_shards = mesh.shape[axis_name]
+    assert n % n_shards == 0, (n, n_shards)
+    per = n // n_shards
+
+    ls_spec = LightSamples(
+        origins=P(axis_name), directions=P(axis_name), powers=P(axis_name),
+        tspan=P(axis_name), iteration=P())
+
+    def shard_fn(ls_shard: LightSamples, key_rep: Array):
+        shard_id = jax.lax.axis_index(axis_name)
+        lane_ids = shard_id * per + jnp.arange(per, dtype=jnp.int32)
+        photons = tracer.trace_photons(
+            volume, tf, tf_scattering, ls_shard, key_rep, config,
+            lane_ids=lane_ids)
+        # Per-shard partial grid; scale must use the GLOBAL photon count.
+        partial_lv = splat.splat_all(photons, out_dim, footprint=4, n_total=n)
+        lv = jax.lax.psum(partial_lv, axis_name)
+        return photons, lv
+
+    photon_spec = PhotonData(
+        positions=P(None, axis_name), powers=P(None, axis_name),
+        directions=P(None, axis_name), exit_power=P(axis_name),
+        exit_direction=P(axis_name), radius_rel=P(), scene_radius=P(),
+        iteration=P())
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(ls_spec, P()),
+        out_specs=(photon_spec, P()),
+        check_vma=False,
+    )(light_samples, key)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "ambient", "mesh", "axis_name"))
+def sharded_render_rays(volume: Volume, tf: TransferFunction,
+                        light_volume: Array, o: Array, d: Array,
+                        n_steps: int, ambient: float, mesh: Mesh,
+                        axis_name: str = "data") -> Array:
+    """Ray-march with the pixel bundle sharded over the mesh; the volume, TF
+    and light volume are replicated (they are small — the camera loop is
+    compute-bound)."""
+    def shard_fn(o_s, d_s):
+        return gather.render_rays(volume, tf, light_volume, o_s, d_s,
+                                  n_steps, ambient)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )(o, d)
+
+
+def sharded_full_step(scene: Scene, state: PhotonMapState,
+                      config: PipelineConfig, mesh: Mesh,
+                      axis_name: str = "data"):
+    """One full pipeline step (trace -> splat-psum -> render) over the mesh.
+
+    The multi-chip analog of :func:`cpm_tpu.pipeline.step.full_trace_step`
+    followed by :func:`render_state`; returns (new state, (H, W, 4) image).
+    """
+    key = jax.random.fold_in(state.key, 0)
+    dim = pstep.light_volume_shape(config)
+    photons, lv = sharded_trace_splat(
+        scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
+        key, config.tracer, dim, mesh, axis_name)
+    photons = photons.replace(
+        radius_rel=jnp.float32(config.tracer.radius_rel),
+        scene_radius=scene.volume.scene_radius(),
+        iteration=jnp.int32(0))
+    state = state.replace(photons=photons, light_volume=lv,
+                          light_volume_accum=lv,
+                          recompute_offset=jnp.int32(0),
+                          n_remaining=jnp.int32(0))
+
+    h, w = config.render.height, config.render.width
+    origins, dirs = scene.camera.rays(w, h)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    dim_max = max(scene.volume.data.shape)
+    n_steps = int(3 ** 0.5 * dim_max * config.render.sampling_rate) + 1
+    img = sharded_render_rays(scene.volume, scene.tf, lv, o, d, n_steps,
+                              config.render.ambient, mesh, axis_name)
+    return state, img.reshape(h, w, 4)

@@ -1,0 +1,335 @@
+"""Pipeline orchestration: the TPU-native analog of the reference's
+processor network evaluation.
+
+The reference wires ProgressivePhotonTracerCL -> PhotonToLightVolume ->
+LightingRaycaster through the Inviwo evaluator, with invalidation flags
+selecting full vs correlated-selective recomputation
+(progressivephotontracercl.cpp:219-605, photontolightvolumeprocessorcl.cpp:
+137-354). Here each path is a pure jitted function over (Scene,
+PhotonMapState) and the flag dispatch happens in Python on static
+:class:`~cpm_tpu.pipeline.state.DirtyFlags` — each distinct combination
+specializes the compiled step, the analog of the reference's kernel-variant
+recompiles.
+
+Paths:
+- :func:`full_trace_step`   — trace all photons + full splat
+  (the ELSE branch at progressivephotontracercl.cpp:541-559 plus the full
+  splat path at photontolightvolumeprocessorcl.cpp:299-339).
+- :func:`correlated_step`   — importance-guided selective retrace + the
+  incremental -1/+1 resplat (cpp:265-540 / cpp:196-298).
+- :func:`progressive_step`  — progressive refinement tick: advance the
+  iteration, shrink the radius (Knaus-Zwicker), trace a fresh photon wave
+  and fold it into the running average (photondata.cpp:67-96).
+- :func:`render_state`      — camera ray-march compositing of the
+  progressive light volume.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cpm_tpu.core import constants
+from cpm_tpu.core.config import PipelineConfig
+from cpm_tpu.core.scene import Scene
+from cpm_tpu.core.types import (LightSamples, PhotonData, UniformGrid3D,
+                                progressive_sphere_radius)
+from cpm_tpu.ops import emit as emit_mod
+from cpm_tpu.ops import gather, minmax, path_importance, sampling, select, splat
+from cpm_tpu.ops import importance as importance_mod
+from cpm_tpu.pipeline.state import DirtyFlags, PhotonMapState
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Setup
+# ---------------------------------------------------------------------------
+
+def emit_all(scene: Scene, config: PipelineConfig, key: Array) -> LightSamples:
+    """Emit the light-sample bundle for every light, concatenated.
+
+    The analog of the tracer's LightSamples multi-inport loop
+    (progressivephotontracercl.cpp:224-231, :481-527): N = nx*ny samples per
+    light, all lights traced in one wavefront here instead of one kernel
+    launch per light.
+    """
+    grid = sampling.stratified_grid_2d(config.photons_x, config.photons_y)
+    bundles = []
+    for i, light in enumerate(scene.lights):
+        k = jax.random.fold_in(key, i)
+        bundles.append(emit_mod.emit(light, grid, key=k))
+    if len(bundles) == 1:
+        return bundles[0]
+    return LightSamples(
+        origins=jnp.concatenate([b.origins for b in bundles]),
+        directions=jnp.concatenate([b.directions for b in bundles]),
+        powers=jnp.concatenate([b.powers for b in bundles]),
+        tspan=jnp.concatenate([b.tspan for b in bundles]),
+        iteration=bundles[0].iteration,
+    )
+
+
+def light_volume_shape(config: PipelineConfig) -> tuple:
+    if config.splat.volume_size_from_radius:
+        d = splat.light_volume_dim(config.tracer.radius_rel)
+    else:
+        d = config.splat.volume_dim
+    return (d, d, d)
+
+
+def init_state(scene: Scene, config: PipelineConfig, seed: int = 0) -> PhotonMapState:
+    """Fresh progressive state: emitted light samples, empty photon buffer,
+    zero light volume."""
+    key = jax.random.PRNGKey(seed)
+    ls = emit_all(scene, config, jax.random.fold_in(key, 1))
+    photons = PhotonData.create(
+        ls.n, config.tracer.max_interactions,
+        radius_rel=config.tracer.radius_rel,
+        scene_radius=float(scene.volume.scene_radius()))
+    dim = light_volume_shape(config)
+    zeros = jnp.zeros((*dim, 3), jnp.float32)
+    return PhotonMapState(
+        photons=photons, light_samples=ls, light_volume=zeros,
+        light_volume_accum=zeros, key=key,
+        recompute_offset=jnp.int32(0), n_remaining=jnp.int32(0))
+
+
+def _trace_key(state: PhotonMapState) -> Array:
+    """Per-iteration RNG root: progressive waves get fresh, deterministic
+    streams (the analog of persisting MWC64X state across iterations,
+    photontracer.cl:211-215)."""
+    return jax.random.fold_in(state.key, state.photons.iteration)
+
+
+# ---------------------------------------------------------------------------
+# Full trace (all photons)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("config",))
+def full_trace_step(scene: Scene, state: PhotonMapState,
+                    config: PipelineConfig) -> PhotonMapState:
+    """Trace every light sample and fully rebuild the light volume,
+    restarting the progressive iteration at 0.
+
+    Runs when light/camera/TF/volume invalidation resets the progressive
+    iteration (progressivephotontracercl.cpp:244-260 + :541-559)."""
+    from cpm_tpu.ops import tracer
+
+    iteration = jnp.int32(0)
+    key = jax.random.fold_in(state.key, iteration)
+    photons = tracer.trace_photons(
+        scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
+        key, config.tracer)
+    photons = photons.replace(
+        iteration=iteration, radius_rel=jnp.float32(config.tracer.radius_rel),
+        scene_radius=scene.volume.scene_radius())
+
+    dim = light_volume_shape(config)
+    lv = splat.splat_all(photons, dim, config.splat.footprint)
+    return state.replace(
+        photons=photons, light_volume=lv, light_volume_accum=lv,
+        recompute_offset=jnp.int32(0), n_remaining=jnp.int32(0))
+
+
+# ---------------------------------------------------------------------------
+# Progressive refinement tick
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("config",))
+def progressive_step(scene: Scene, state: PhotonMapState,
+                     config: PipelineConfig) -> PhotonMapState:
+    """One progressive-refinement tick (the 100 ms timer path,
+    progressivephotontracercl.cpp:622-651).
+
+    Advances the iteration, shrinks the radius by the Knaus-Zwicker schedule
+    (photondata.cpp:67-80), traces a fresh photon wave with new RNG streams
+    and folds its light volume into the running progressive average."""
+    from cpm_tpu.ops import tracer
+
+    iteration = state.photons.iteration + 1
+    radius = progressive_sphere_radius(
+        state.photons.radius_rel, iteration, config.tracer.alpha)
+
+    key = jax.random.fold_in(state.key, iteration)
+    photons = tracer.trace_photons(
+        scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
+        key, config.tracer)
+    photons = photons.replace(
+        iteration=iteration, radius_rel=radius,
+        scene_radius=scene.volume.scene_radius())
+
+    dim = light_volume_shape(config)
+    lv = splat.splat_all(photons, dim, config.splat.footprint)
+    it = iteration.astype(jnp.float32)
+    accum = (state.light_volume_accum * it + lv) / (it + 1.0)
+    return state.replace(photons=photons, light_volume=lv,
+                         light_volume_accum=accum)
+
+
+# ---------------------------------------------------------------------------
+# Correlated selective recomputation
+# ---------------------------------------------------------------------------
+
+def recompute_budget(config: PipelineConfig, n_photons: int) -> int:
+    """Static retrace batch size: maxPhotonsPerUpdate% of the photon count
+    (progressivephotontracercl.cpp:374-388), rounded up to a lane-friendly
+    multiple of 256. ``n_photons`` is the (static) light-sample count."""
+    b = int(math.ceil(config.recompute.max_photons_fraction * n_photons))
+    return max(256, -(-b // 256) * 256)
+
+
+@partial(jax.jit, static_argnames=("config", "budget"))
+def correlated_step(scene: Scene, state: PhotonMapState,
+                    config: PipelineConfig,
+                    importance_grid: UniformGrid3D,
+                    budget: int) -> PhotonMapState:
+    """Selective recomputation: integrate importance along stored photon
+    paths, retrace only the top-``budget`` photons and incrementally update
+    the light volume with the -1/+1 splat trick.
+
+    The jitted analog of the IF-importance-connected branch of
+    ProgressivePhotonTracerCL::process() (cpp:265-540) fused with
+    PhotonToLightVolume's incremental path (cpp:196-298)."""
+    from cpm_tpu.ops import tracer
+
+    # -- per-photon path importance (photonrecomputationdetector.cl:92-157)
+    if config.recompute.equal_importance:
+        imp = path_importance.equal_importance(
+            state.photons.n, state.photons.iteration,
+            config.recompute.equal_importance_percentage)
+    else:
+        imp = path_importance.photon_path_importance(
+            importance_grid, state.photons, state.light_samples,
+            max_steps=config.recompute.importance_steps)
+
+    # -- threshold + sort + budget (cpp:327-419)
+    indices, valid, n_remaining = select.select_photons_to_recompute(
+        imp, budget, start_offset=state.recompute_offset)
+
+    # -- retrace only the selected light samples (recompute kernel variant,
+    #    photontracer.cl:95-110): gather the sub-bundle, trace, merge back.
+    safe = jnp.where(valid, indices, 0)
+    sub = LightSamples(
+        origins=state.light_samples.origins[safe],
+        directions=state.light_samples.directions[safe],
+        powers=state.light_samples.powers[safe],
+        tspan=jnp.where(valid[:, None], state.light_samples.tspan[safe],
+                        jnp.array([0.0, -1.0], jnp.float32)),
+        iteration=state.light_samples.iteration,
+    )
+    key = _trace_key(state)
+    new = tracer.trace_photons(
+        scene.volume, scene.tf, scene.tf_scattering, sub, key, config.tracer,
+        lane_ids=safe)
+    new = new.replace(radius_rel=state.photons.radius_rel,
+                      scene_radius=state.photons.scene_radius,
+                      iteration=state.photons.iteration)
+
+    # -- incremental splat: remove old contribution, add new (the
+    #    photonRadianceMultiplier +-1 trick, photonstolightvolume.cl:182-199)
+    dim = light_volume_shape(config)
+    fp = config.splat.footprint
+    removed = splat.splat_selected(state.photons, indices, valid, dim, fp)
+    merged = tracer.merge_recomputed(state.photons, new, indices, valid)
+    added = splat.splat_selected(merged, indices, valid, dim, fp)
+    lv = state.light_volume - removed + added
+
+    it = state.photons.iteration.astype(jnp.float32)
+    accum = (state.light_volume_accum * it + lv) / (it + 1.0)
+    return state.replace(
+        photons=merged, light_volume=lv, light_volume_accum=accum,
+        recompute_offset=jnp.where(n_remaining > 0,
+                                   state.recompute_offset + budget,
+                                   jnp.int32(0)),
+        n_remaining=n_remaining)
+
+
+# ---------------------------------------------------------------------------
+# Importance-grid construction (min/max + TF [+ time difference])
+# ---------------------------------------------------------------------------
+
+def build_importance_grid(scene: Scene, config: PipelineConfig,
+                          weights: importance_mod.ImportanceWeights | None = None,
+                          prev_minmax: Array | None = None,
+                          volume_diff: Array | None = None) -> UniformGrid3D:
+    """min/max grid -> TF-classified importance grid
+    (VolumeMinMaxCLProcessor + MinMaxUniformGrid3DImportanceCLProcessor,
+    SURVEY.md §3.4). With ``prev_minmax``/``volume_diff`` from the previous
+    time step, builds the time-varying importance instead."""
+    if weights is None:
+        weights = importance_mod.ImportanceWeights()
+    w = weights.normalized()
+    cell = config.recompute.grid_cell_size
+    mm = minmax.volume_min_max(scene.volume, cell)
+    if volume_diff is not None and prev_minmax is not None:
+        imp = importance_mod.classify_time_varying_importance(
+            mm.data, prev_minmax, volume_diff,
+            scene.tf.positions, scene.tf.colors, w)
+    else:
+        imp = importance_mod.classify_importance(
+            mm.data, scene.tf.positions, scene.tf.colors, w)
+    return UniformGrid3D(data=imp, cell_dim=mm.cell_dim,
+                         volume_dim=mm.volume_dim)
+
+
+def build_tf_change_importance_grid(scene: Scene, config: PipelineConfig,
+                                    prev_tf_positions,
+                                    prev_tf_colors) -> UniformGrid3D:
+    """Incremental TF-difference importance: only regions whose appearance
+    changed under the TF edit get importance. The TF merge-walk runs on host
+    (minmaxuniformgrid3dimportanceclprocessor.cpp:364-501), classification
+    on device with the INCREMENTAL_TF_IMPORTANCE variant (cl:164-169)."""
+    cell = config.recompute.grid_cell_size
+    mm = minmax.volume_min_max(scene.volume, cell)
+    dpos, dcol = importance_mod.tf_difference_points(
+        prev_tf_positions, prev_tf_colors,
+        scene.tf.positions, scene.tf.colors)
+    imp = importance_mod.classify_importance(
+        mm.data, jnp.asarray(dpos), jnp.asarray(dcol), weights=None,
+        incremental=True)
+    return UniformGrid3D(data=imp, cell_dim=mm.cell_dim,
+                         volume_dim=mm.volume_dim)
+
+
+# ---------------------------------------------------------------------------
+# Rendering + top-level dispatch
+# ---------------------------------------------------------------------------
+
+def render_state(scene: Scene, state: PhotonMapState,
+                 config: PipelineConfig) -> Array:
+    """Composite the progressive light volume into an (H, W, 4) image."""
+    return gather.render(scene.volume, scene.tf, state.light_volume_accum,
+                         scene.camera, config.render)
+
+
+def step(scene: Scene, state: PhotonMapState, config: PipelineConfig,
+         flags: DirtyFlags,
+         importance_grid: UniformGrid3D | None = None) -> PhotonMapState:
+    """Dispatch one pipeline step on (static) dirty flags — the Python-side
+    analog of the evaluator + invalidation-flag logic
+    (progressivephotontracercl.cpp:244-310).
+
+    - light/camera dirty, or no importance grid: full retrace.
+    - tf/volume dirty + importance grid connected: correlated update.
+    - progressive only: refinement tick.
+    """
+    if flags.light or flags.camera or importance_grid is None and (
+            flags.tf or flags.volume):
+        return full_trace_step(scene, state, config)
+    if (flags.tf or flags.volume) and importance_grid is not None:
+        budget = recompute_budget(config, state.photons.n)
+        return correlated_step(scene, state, config, importance_grid, budget)
+    if flags.progressive:
+        # Host readback of the remaining-count, the analog of the blocking
+        # clogs::Reduce readback (cpp:374): drain leftover flagged photons
+        # before refining (cpp:534-540).
+        if importance_grid is not None and int(state.n_remaining) > 0:
+            budget = recompute_budget(config, state.photons.n)
+            return correlated_step(scene, state, config, importance_grid,
+                                   budget)
+        return progressive_step(scene, state, config)
+    return state

@@ -1,0 +1,205 @@
+"""Pipeline orchestration tests: dirty-flag dispatch, progressive
+accumulation, correlated incremental updates vs full recompute."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpm_tpu.core.camera import Camera
+from cpm_tpu.core.config import (PipelineConfig, RecomputeConfig, RenderConfig,
+                                 SplatConfig, TracerConfig)
+from cpm_tpu.core.lights import Light
+from cpm_tpu.core.scene import Scene
+from cpm_tpu.core.types import TransferFunction, Volume
+from cpm_tpu.io import synthetic
+from cpm_tpu.pipeline import step as pstep
+from cpm_tpu.pipeline.state import ALL_DIRTY, DirtyFlags
+
+
+def _scene(dim=32, tf_points=None):
+    vol = Volume.from_data(synthetic.sphere_in_box(dim))
+    if tf_points is None:
+        tf_points = synthetic.default_tf_points()
+    tf = TransferFunction.from_points(*tf_points)
+    tfs = TransferFunction.from_points(*synthetic.default_scattering_points())
+    return Scene.create(vol, tf, tfs, [Light.directional((0.0, -1.0, 0.3))],
+                        Camera.create())
+
+
+def _config(**kw):
+    return PipelineConfig(
+        photons_x=kw.pop("px", 32), photons_y=kw.pop("py", 32),
+        tracer=TracerConfig(max_interactions=2, max_steps=3000),
+        render=RenderConfig(width=32, height=32),
+        recompute=RecomputeConfig(max_photons_fraction=kw.pop("frac", 0.25)),
+        **kw)
+
+
+class TestFullTrace:
+    def test_full_trace_builds_light_volume(self):
+        scene = _scene()
+        cfg = _config()
+        st = pstep.init_state(scene, cfg)
+        st = pstep.step(scene, st, cfg, ALL_DIRTY)
+        assert float(jnp.sum(st.light_volume)) > 0.0
+        assert int(st.photons.iteration) == 0
+        np.testing.assert_array_equal(np.asarray(st.light_volume),
+                                      np.asarray(st.light_volume_accum))
+
+    def test_full_trace_deterministic(self):
+        scene = _scene()
+        cfg = _config()
+        st0 = pstep.init_state(scene, cfg)
+        a = pstep.full_trace_step(scene, st0, cfg)
+        b = pstep.full_trace_step(scene, st0, cfg)
+        np.testing.assert_array_equal(np.asarray(a.light_volume),
+                                      np.asarray(b.light_volume))
+
+
+class TestProgressive:
+    def test_iteration_advances_and_radius_shrinks(self):
+        scene = _scene()
+        cfg = _config()
+        st = pstep.init_state(scene, cfg)
+        st = pstep.full_trace_step(scene, st, cfg)
+        r0 = float(st.photons.radius_rel)
+        st = pstep.step(scene, st, cfg, DirtyFlags(progressive=True))
+        assert int(st.photons.iteration) == 1
+        assert float(st.photons.radius_rel) < r0
+
+    def test_progressive_reduces_noise(self):
+        """The running average over waves converges: the per-voxel variance
+        between two independent 8-wave averages is much smaller than between
+        two 1-wave grids. alpha=0.95 keeps the radius (and thus per-wave
+        variance) nearly constant so the averaging effect dominates. The decay
+        is well below 1/sqrt(n): photon powers are heavy-tailed (the
+        power /= max(opacity, 0.01) rescale makes low-opacity interactions
+        carry huge weights), so assert a robust strict decrease only."""
+        scene = _scene()
+        cfg = PipelineConfig(
+            photons_x=64, photons_y=64,
+            tracer=TracerConfig(max_interactions=2, max_steps=3000,
+                                alpha=0.95, radius_rel=1.0 / 16.0),
+            render=RenderConfig(width=32, height=32))
+
+        def run(seed, waves):
+            st = pstep.init_state(scene, cfg, seed=seed)
+            st = pstep.full_trace_step(scene, st, cfg)
+            for _ in range(waves):
+                st = pstep.progressive_step(scene, st, cfg)
+            return np.asarray(st.light_volume_accum)
+
+        one_a, one_b = run(0, 0), run(1, 0)
+        many_a, many_b = run(0, 7), run(1, 7)
+        err1 = np.abs(one_a - one_b).mean()
+        err8 = np.abs(many_a - many_b).mean()
+        assert err8 < err1 * 0.85
+
+
+class TestCorrelated:
+    def test_zero_importance_changes_nothing(self):
+        """With an all-zero importance grid no photon is selected, so the
+        light volume must be (near-)unchanged."""
+        scene = _scene()
+        cfg = _config()
+        st = pstep.init_state(scene, cfg)
+        st = pstep.full_trace_step(scene, st, cfg)
+        ig = pstep.build_importance_grid(scene, cfg)
+        zero = ig.replace(data=jnp.zeros_like(ig.data))
+        budget = pstep.recompute_budget(cfg, st.photons.n)
+        st2 = pstep.correlated_step(scene, st, cfg, zero, budget)
+        np.testing.assert_allclose(np.asarray(st2.light_volume),
+                                   np.asarray(st.light_volume),
+                                   atol=1e-4)
+        assert int(st2.n_remaining) == 0
+
+    def test_full_importance_retrace_matches_full(self):
+        """Draining a uniform-importance grid over enough correlated steps
+        retraces every photon; the result must match a full retrace at the
+        same iteration."""
+        scene = _scene()
+        cfg = _config(frac=0.5)
+        st = pstep.init_state(scene, cfg)
+        st = pstep.full_trace_step(scene, st, cfg)
+
+        ig = pstep.build_importance_grid(scene, cfg)
+        ones = ig.replace(data=jnp.ones_like(ig.data))
+        budget = pstep.recompute_budget(cfg, st.photons.n)
+        st2 = pstep.correlated_step(scene, st, cfg, ones, budget)
+        st2 = pstep.correlated_step(scene, st2, cfg, ones, budget)
+        # After two 50% batches every photon has been retraced with the
+        # iteration-0 key -> identical to the full trace.
+        full = pstep.full_trace_step(scene, st, cfg)
+        np.testing.assert_allclose(np.asarray(st2.light_volume),
+                                   np.asarray(full.light_volume),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_budget_respected(self):
+        scene = _scene()
+        cfg = _config(frac=0.1)
+        st = pstep.init_state(scene, cfg)
+        st = pstep.full_trace_step(scene, st, cfg)
+        ig = pstep.build_importance_grid(scene, cfg)
+        ones = ig.replace(data=jnp.ones_like(ig.data))
+        budget = pstep.recompute_budget(cfg, st.photons.n)
+        assert budget < st.photons.n
+        st2 = pstep.correlated_step(scene, st, cfg, ones, budget)
+        # Photons outside the first batch were untouched.
+        assert int(st2.n_remaining) == st.photons.n - budget
+
+    def test_tf_change_importance_localizes(self):
+        """A TF edit confined to high density values must produce importance
+        only in grid cells containing those values (the paper's core
+        correlation idea)."""
+        scene = _scene(dim=32)
+        cfg = _config()
+        # sphere_in_box: high values in the center sphere.
+        pos = np.array([0.0, 0.45, 0.55, 1.0], np.float32)
+        col_a = np.array([[0, 0, 0, 0], [0, 0, 0, 0],
+                          [1, 1, 1, 0.5], [1, 1, 1, 0.5]], np.float32)
+        col_b = np.array([[0, 0, 0, 0], [0, 0, 0, 0],
+                          [1, 0.2, 0.2, 0.9], [1, 0.2, 0.2, 0.9]], np.float32)
+        ig = pstep.build_tf_change_importance_grid(
+            scene, cfg, jnp.asarray(pos), jnp.asarray(col_a))
+        # Self-diff is zero everywhere.
+        scene_b = scene.replace(tf=TransferFunction.from_points(pos, col_b))
+        ig_self = pstep.build_tf_change_importance_grid(
+            scene, cfg, scene.tf.positions, scene.tf.colors)
+        assert float(ig_self.data.max()) == 0.0
+        ig_ab = pstep.build_tf_change_importance_grid(
+            scene_b, cfg, jnp.asarray(pos), jnp.asarray(col_a))
+        imp = np.asarray(ig_ab.data)
+        assert imp.max() > 0.0
+        # Cells whose min/max range lies entirely below 0.45 are untouched.
+        from cpm_tpu.ops import minmax
+        mm = np.asarray(minmax.volume_min_max(
+            scene.volume, cfg.recompute.grid_cell_size).data)
+        low_cells = mm[..., 1] < 0.45
+        assert imp[low_cells].max() == 0.0
+
+
+class TestDispatch:
+    def test_progressive_drains_remaining_first(self):
+        scene = _scene()
+        cfg = _config(frac=0.1)
+        st = pstep.init_state(scene, cfg)
+        st = pstep.full_trace_step(scene, st, cfg)
+        ig = pstep.build_importance_grid(scene, cfg)
+        ones = ig.replace(data=jnp.ones_like(ig.data))
+        st = pstep.step(scene, st, cfg, DirtyFlags(tf=True), ones)
+        n_rem = int(st.n_remaining)
+        assert n_rem > 0
+        st2 = pstep.step(scene, st, cfg, DirtyFlags(progressive=True), ones)
+        assert int(st2.n_remaining) < n_rem
+        assert int(st2.photons.iteration) == int(st.photons.iteration)
+
+    def test_render_state(self):
+        scene = _scene()
+        cfg = _config()
+        st = pstep.init_state(scene, cfg)
+        st = pstep.full_trace_step(scene, st, cfg)
+        img = pstep.render_state(scene, st, cfg)
+        assert img.shape == (32, 32, 4)
+        assert np.isfinite(np.asarray(img)).all()
+        assert float(img[..., 3].max()) > 0.1
