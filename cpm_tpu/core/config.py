@@ -27,12 +27,14 @@ class TracerConfig:
     max_interactions: int = 1
     phase_type: int = phase_mod.ISOTROPIC
     phase_g: float = 0.0  # HG anisotropy / Schlick k
-    tau_max: float = 1.0  # Woodcock majorant scale
+    tau_max: float = 1.0  # safety multiplier on the per-cell majorants
     sampling_rate: float = 2.0
     alpha: float = 0.3  # progressive radius alpha (Knaus-Zwicker)
     max_steps: int = 20000  # hard cap on wavefront iterations (safety net)
     no_single_scattering: bool = False  # reference define NO_SINGLE_SCATTERING
     radius_rel: float = constants.DEFAULT_RADIUS_REL
+    use_majorant_grid: bool = True  # macrocell empty-space skipping
+    majorant_cell_size: int = 8  # voxels per majorant macrocell axis
 
 
 @dataclass(frozen=True)

@@ -169,12 +169,21 @@ def read_dat_volume(path: str):
     """
     kv = _parse_header(path)
     raw_name = kv.get("rawfile") or kv.get("objectfilename")
+    if raw_name is None:
+        raise ValueError(
+            f"{path}: .dat header has neither RawFile nor ObjectFileName")
+    if "resolution" not in kv:
+        raise ValueError(f"{path}: .dat header is missing Resolution")
     raw_path = os.path.join(os.path.dirname(os.path.abspath(path)), raw_name)
     w, h, d = [int(x) for x in re.split(r"\s+", kv["resolution"])][:3]
     dtype, channels = _parse_format(kv.get("format", "uint8"))
     if channels != 1:
         raise ValueError("volume .dat must be scalar")
     blob = np.fromfile(raw_path, dtype=dtype, count=w * h * d)
+    if blob.size < w * h * d:
+        raise ValueError(
+            f"{raw_path}: raw blob holds {blob.size} values, expected "
+            f"{w * h * d} for Resolution {w}x{h}x{d}")
     data = blob.reshape(d, h, w).astype(np.float32)
     if np.issubdtype(dtype, np.integer):
         data /= float(np.iinfo(dtype).max)

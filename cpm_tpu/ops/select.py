@@ -10,10 +10,14 @@ Reference parity: ProgressivePhotonTracerCL::process() steps
   budget = min(remaining, maxPhotonsPerUpdate% * N)
             (progressivephotontracercl.cpp:374-388)
   optional spatial re-sort of the selected indices (:425-475)
+  resetPhotonImportance on computed photons (fill 2^31-1 sentinel,
+            progressivephotontracercl.cpp:529,607-611) so a progressive
+            drain never re-selects an already-retraced photon
 
 TPU-first: one descending argsort over float keys replaces the subtractive
 uint radix trick; the budget is a *static* buffer size B with a validity
-mask (fixed shapes under jit, SURVEY.md §7 "hard parts").
+mask (fixed shapes under jit, SURVEY.md §7 "hard parts"); the sentinel
+reset becomes an explicit ``exclude`` mask carried in PhotonMapState.
 """
 
 from __future__ import annotations
@@ -28,16 +32,17 @@ Array = jnp.ndarray
 
 @partial(jax.jit, static_argnames=("budget", "spatial_sort"))
 def select_photons_to_recompute(importance: Array, budget: int,
-                                start_offset: Array | None = None,
+                                exclude: Array | None = None,
                                 spatial_sort: bool = True):
     """Pick the top-``budget`` photons by importance.
 
     Args:
       importance: (N,) float path importance (0 = no recompute needed).
       budget: static max photons per update (ceil(% * N) at trace time).
-      start_offset: () int32 — photons already processed this round, so a
-        progressive drain across frames visits lower-priority photons next
-        (the reference's batch compaction, progressivephotontracercl.cpp:389-419).
+      exclude: optional (N,) bool — photons already retraced this round
+        (the analog of the reference's resetPhotonImportance sentinel fill,
+        progressivephotontracercl.cpp:607-611); their importance is zeroed
+        so a multi-batch drain visits each photon at most once.
       spatial_sort: re-sort the selected ids ascending so the retrace batch
         is memory-coherent (the reference's "spatial sorting" index sort,
         :425-475 — light-sample id order approximates spatial order on the
@@ -49,19 +54,19 @@ def select_photons_to_recompute(importance: Array, budget: int,
       (drives progressive draining, :534-540).
     """
     n = importance.shape[0]
-    if start_offset is None:
-        start_offset = jnp.int32(0)
+    if exclude is not None:
+        importance = jnp.where(exclude, 0.0, importance)
     n_flagged = jnp.sum((importance > 0.0).astype(jnp.int32))
     order = jnp.argsort(-importance)  # descending priority
-    ranks = start_offset + jnp.arange(budget, dtype=jnp.int32)
+    ranks = jnp.arange(budget, dtype=jnp.int32)
     take = jnp.minimum(ranks, n - 1)
     indices = order[take].astype(jnp.int32)
-    valid = (ranks < n_flagged)
+    valid = ranks < n_flagged
     if spatial_sort:
         # Invalid lanes sort to the end (key = n).
         skey = jnp.where(valid, indices, n)
         perm = jnp.argsort(skey)
         indices = indices[perm]
         valid = valid[perm]
-    n_remaining = jnp.maximum(n_flagged - (start_offset + budget), 0)
+    n_remaining = jnp.maximum(n_flagged - budget, 0)
     return indices, valid, n_remaining

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 from cpm_tpu.core import constants
 from cpm_tpu.core.types import (PhotonData, relative_irradiance_scale)
+from cpm_tpu.pallas.splat_mxu import (PRODUCT_KERNEL_MATCH,
+                                      splat_product_pallas)
 
 Array = jnp.ndarray
 
@@ -33,6 +35,48 @@ Array = jnp.ndarray
 def epanechnikov(x: Array) -> Array:
     """0.75*(1 - x^2) for x <= 1 else 0 (densityestimationkernel.cl:56-60)."""
     return jnp.where(x <= 1.0, 0.75 * (1.0 - x * x), 0.0)
+
+
+def default_method() -> str:
+    """Splat method for the current backend: the MXU Pallas kernel on TPU,
+    its XLA twin elsewhere (CPU tests, interpretability)."""
+    return "pallas" if jax.default_backend() == "tpu" else "matmul"
+
+
+def splat_product_xla(positions: Array, powers: Array, radius_rel: Array,
+                      out_dim: tuple, chunk: int = 16384) -> Array:
+    """XLA twin of :func:`cpm_tpu.pallas.splat_mxu.splat_product_pallas`:
+    the same separable-kernel dense contraction via lax.dot_general.
+    ``powers`` already carry scale + validity; see the Pallas kernel doc."""
+    d, h, w = out_dim
+    m = positions.shape[0]
+    m_pad = -(-m // chunk) * chunk
+    pos = jnp.pad(positions, ((0, m_pad - m), (0, 0)), constant_values=1e30)
+    pw = jnp.pad(powers, ((0, m_pad - m), (0, 0)))
+    inv_r = 1.0 / jnp.asarray(radius_rel, jnp.float32)
+
+    zc = (jnp.arange(d, dtype=jnp.float32) + 0.5) / d
+    yc = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    xc = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+
+    def kern(centers, p):
+        dist = (centers[None, :] - p[:, None]) * inv_r
+        return jnp.maximum(0.75 * (1.0 - dist * dist), 0.0)
+
+    def body(i, acc):
+        p = jax.lax.dynamic_slice(pos, (i * chunk, 0), (chunk, 3))
+        pp = jax.lax.dynamic_slice(pw, (i * chunk, 0), (chunk, 3))
+        a = (kern(zc, p[:, 2])[:, :, None]
+             * kern(yc, p[:, 1])[:, None, :]).reshape(chunk, d * h)
+        b = (kern(xc, p[:, 0])[:, :, None]
+             * pp[:, None, :]).reshape(chunk, w * 3)
+        return acc + jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, m_pad // chunk, body, jnp.zeros((d * h, w * 3), jnp.float32))
+    return acc.reshape(d, h, w, 3)
 
 
 def light_volume_dim(radius_rel: float) -> int:
@@ -100,9 +144,37 @@ def _splat_flat(positions: Array, powers: Array, valid: Array,
     return g[:d * h * w * 3].reshape(d, h, w, 3)
 
 
-@partial(jax.jit, static_argnames=("out_dim", "footprint", "n_total"))
+def _dispatch(method: str, pos: Array, pow_: Array, valid: Array,
+              radius_rel: Array, scale: Array, out_dim: tuple,
+              footprint: int) -> Array:
+    """Route a flat photon list to a splat backend.
+
+    - "scatter": exact radial-Epanechnikov scatter-add (reference parity,
+      oracle-tested) — slow on TPU (XLA scatter ~150 M adds/s).
+    - "matmul":  separable product-Epanechnikov dense contraction (XLA).
+    - "pallas" / "pallas_interpret": the MXU kernel twin of "matmul".
+    The product paths scale powers by PRODUCT_KERNEL_MATCH so both kernels
+    deposit the same expected irradiance.
+    """
+    if method == "scatter":
+        return _splat_flat(pos, pow_, valid, radius_rel, scale, out_dim,
+                           footprint)
+    pw = (pow_ * (scale * jnp.float32(PRODUCT_KERNEL_MATCH))
+          * valid[:, None].astype(jnp.float32))
+    if method == "matmul":
+        return splat_product_xla(pos, pw, radius_rel, out_dim)
+    if method == "pallas":
+        return splat_product_pallas(pos, pw, radius_rel, out_dim)
+    if method == "pallas_interpret":
+        return splat_product_pallas(pos, pw, radius_rel, out_dim,
+                                    interpret=True)
+    raise ValueError(f"unknown splat method {method!r}")
+
+
+@partial(jax.jit, static_argnames=("out_dim", "footprint", "n_total",
+                                   "method"))
 def splat_all(photons: PhotonData, out_dim: tuple, footprint: int = 4,
-              n_total: int | None = None) -> Array:
+              n_total: int | None = None, method: str = "scatter") -> Array:
     """Splat every stored photon (the full path,
     photontolightvolumeprocessorcl.cpp:299-339).
 
@@ -119,14 +191,15 @@ def splat_all(photons: PhotonData, out_dim: tuple, footprint: int = 4,
     scale = (jnp.float32(constants.ISOTROPIC_PHASE)
              * relative_irradiance_scale(n_total if n_total is not None else n,
                                          photons.radius_rel))
-    return _splat_flat(pos, pow_, valid, photons.radius_rel, scale, out_dim,
-                       footprint)
+    return _dispatch(method, pos, pow_, valid, photons.radius_rel, scale,
+                     out_dim, footprint)
 
 
-@partial(jax.jit, static_argnames=("out_dim", "footprint"))
+@partial(jax.jit, static_argnames=("out_dim", "footprint", "method"))
 def splat_selected(photons: PhotonData, indices: Array, valid: Array,
                    out_dim: tuple, footprint: int = 4,
-                   multiplier: float | Array = 1.0) -> Array:
+                   multiplier: float | Array = 1.0,
+                   method: str = "scatter") -> Array:
     """Splat only the photons whose light-sample ids are in ``indices``.
 
     The ±multiplier mirrors splatSelectedPhotonsToLightVolumeKernel's
@@ -144,5 +217,5 @@ def splat_selected(photons: PhotonData, indices: Array, valid: Array,
     scale = (jnp.float32(constants.ISOTROPIC_PHASE)
              * relative_irradiance_scale(n, photons.radius_rel)
              * jnp.float32(multiplier))
-    return _splat_flat(pos, pow_, pvalid, photons.radius_rel, scale, out_dim,
-                       footprint)
+    return _dispatch(method, pos, pow_, pvalid, photons.radius_rel, scale,
+                     out_dim, footprint)

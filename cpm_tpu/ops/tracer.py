@@ -3,21 +3,34 @@ volume with scattering, absorption and per-interaction photon deposition.
 
 Reference parity: the device hot loop ``photonTracerKernel``
 (modules/progressivephotonmapping/cl/photontracer.cl:69-216) with
-``woodcockTracking`` free-flight sampling (cl/transmittance.cl:126-144).
+``woodcockTracking`` free-flight sampling (cl/transmittance.cl:126-144) and
+the empty-space skip the reference sketches in ``skipEmptySpace``
+(cl/transmittance.cl:267-283).
 
 TPU-first redesign: instead of one independent rejection loop per work-item,
 ALL photons advance together in a single ``lax.while_loop`` over *wavefront
-iterations*; each iteration performs one tentative Woodcock step for every
-lane (masked when inactive). This is dense, branch-free vector work for the
-VPU — the same idea as the reference's SIMD variant ``woodcockTracking4``
-(transmittance.cl:214-248) taken to its logical extreme. The MWC64X
-skip-ahead streams (cl/randstategen.cl:39-48) become threefry counter RNG:
-per-lane keys folded with the wavefront step index, which is deterministic
-and invariant under sharding.
+iterations*; each iteration performs one tentative step for every lane
+(masked when inactive) — dense, branch-free VPU work, the reference's SIMD
+variant ``woodcockTracking4`` (transmittance.cl:214-248) taken to its
+logical extreme.
+
+Free-flight sampling uses a *macrocell majorant grid*
+(:mod:`cpm_tpu.ops.majorant`): each iteration samples an exponential flight
+against the LOCAL cell majorant; flights that would cross the cell boundary
+are clamped to it (null event, memoryless regeneration), and zero-majorant
+cells are jumped in a single iteration. This bounds the wavefront trip count
+by cells-crossed + true optical depth instead of sigma_global * path length
+— the fix for VERDICT.md round-1 finding #3 (40x throughput shortfall).
+
+RNG: explicit counter-mode threefry (:mod:`cpm_tpu.ops.rng`) keyed by
+(global lane id, wavefront step) — deterministic and shard-invariant, the
+TPU analog of the MWC64X skip-ahead streams (cl/randstategen.cl:39-48),
+evaluated as one batched hash per iteration instead of per-lane fold_in
+chains (round-1 weak finding #1).
 
 Semantics matched to the reference kernel:
 - power is pre-divided by maxInteractions (photontracer.cl:150)
-- extinction = TF opacity * SAMPLING_BASE_INTERVAL_RCP * tauMax
+- extinction = TF opacity * SAMPLING_BASE_INTERVAL_RCP
 - at an interaction: power /= max(color.w, 0.01)  (photontracer.cl:176)
 - scattering albedo = scat.w / (scat.w + color.w)  (photontracer.cl:174)
 - scatter branch multiplies power by albedo, samples a phase-function
@@ -25,6 +38,10 @@ Semantics matched to the reference kernel:
 - stored photon direction is the INCOMING direction (encoded theta/phi)
 - unused interaction slots keep FLT_MAX sentinels; absorbed paths mark the
   residual exit power as FLT_MAX (used by the recomputation detector)
+- ``no_single_scattering``: the first interaction scatters without being
+  deposited (power /= phase pdf, no albedo test) so the light volume holds
+  only multiple scattering (photontracer.cl:143-157 under
+  -D NO_SINGLE_SCATTERING, photontracercl.cpp:198-210)
 """
 
 from __future__ import annotations
@@ -39,10 +56,15 @@ from cpm_tpu.core import constants
 from cpm_tpu.core.config import TracerConfig
 from cpm_tpu.core.types import (LightSamples, PhotonData, TransferFunction,
                                 Volume, encode_direction)
-from cpm_tpu.ops import intersect, phase as phase_mod
-from cpm_tpu.ops.sampling import sample_volume_trilinear
+from cpm_tpu.ops import intersect, majorant as majorant_mod, rng
+from cpm_tpu.ops import phase as phase_mod
+from cpm_tpu.ops.sampling import flat_take, sample_volume_trilinear
 
 Array = jnp.ndarray
+
+# Nudge past a macrocell boundary: large vs float32 ulp at ~1.0, small vs a
+# voxel (<= 1e-5 * dim voxels skipped per crossing).
+_BOUNDARY_EPS = 1e-5
 
 
 class _TraceState(NamedTuple):
@@ -55,18 +77,10 @@ class _TraceState(NamedTuple):
     n_int: Array  # (N,) int32 interactions deposited
     active: Array  # (N,) bool
     absorbed: Array  # (N,) bool
+    first_done: Array  # (N,) bool — pre-scatter done (no_single_scattering)
     out_pos: Array  # (I, N, 3)
     out_pow: Array  # (I, N, 3)
     out_dir: Array  # (I, N, 2)
-
-
-def _uniforms(base_key: Array, lane_ids: Array, step: Array, n_draws: int) -> Array:
-    """(N, n_draws) uniforms; per-lane counter streams so results do not
-    depend on how lanes are sharded across chips."""
-    def one(lane):
-        k = jax.random.fold_in(jax.random.fold_in(base_key, lane), step)
-        return jax.random.uniform(k, (n_draws,))
-    return jax.vmap(one)(lane_ids)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -86,9 +100,18 @@ def trace_photons(volume: Volume, tf: TransferFunction,
     max_i = config.max_interactions
     if lane_ids is None:
         lane_ids = jnp.arange(n, dtype=jnp.int32)
+    key0, key1 = rng.key_words(base_key)
 
-    inv_sigma = 1.0 / (config.tau_max * constants.SAMPLING_BASE_INTERVAL_RCP)
-    inv_tau = 1.0 / config.tau_max
+    if config.use_majorant_grid:
+        maj = majorant_mod.build_majorant_grid(
+            volume, tf, config.majorant_cell_size)
+    else:
+        maj = jnp.full((1, 1, 1), jnp.float32(1.0))
+    gz, gy, gx = maj.shape
+    gdim = jnp.array([gx, gy, gz], jnp.float32)
+    maj_flat = maj.reshape(-1) * jnp.float32(config.tau_max)
+
+    sbi = jnp.float32(constants.SAMPLING_BASE_INTERVAL_RCP)
     dim_max = max(volume.data.shape)
     step_size = jnp.float32(1.0 / (config.sampling_rate * dim_max))
     big = jnp.float32(constants.FLT_MAX)
@@ -107,6 +130,7 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         n_int=jnp.zeros(n, jnp.int32),
         active=t0 < t1,
         absorbed=jnp.zeros(n, bool),
+        first_done=jnp.full(n, not config.no_single_scattering),
         out_pos=jnp.full((max_i, n, 3), big),
         out_pow=jnp.zeros((max_i, n, 3), jnp.float32),
         out_dir=jnp.zeros((max_i, n, 2), jnp.float32),
@@ -118,19 +142,40 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         return jnp.logical_and(jnp.any(s.active), s.step < config.max_steps)
 
     def body(s: _TraceState) -> _TraceState:
-        u = _uniforms(base_key, lane_ids, s.step, 5)
-        # --- Woodcock tentative step (transmittance.cl:126-144) ---
-        dt = -jnp.log(jnp.maximum(u[:, 0], 1e-12)) * inv_sigma
-        t_new = s.t + dt
+        u = rng.uniforms(key0, key1, lane_ids, s.step, 5)
+        # --- macrocell delta-tracking step ---
+        p_cur = s.pos + s.t[:, None] * s.dir
+        cell = jnp.clip(jnp.floor(p_cur * gdim), 0.0, gdim - 1.0
+                        ).astype(jnp.int32)
+        cidx = (cell[:, 2] * gy + cell[:, 1]) * gx + cell[:, 0]
+        maj_op = flat_take(maj_flat, cidx)  # local majorant (opacity units)
+        t_cell = majorant_mod.cell_exit_distance(s.pos, s.dir, cell, gdim)
+        t_cell = jnp.maximum(t_cell, s.t)
+
+        dt = -jnp.log(jnp.maximum(u[:, 0], 1e-12)) / jnp.maximum(
+            maj_op * sbi, 1e-12)
+        t_tent = s.t + dt
+        # Null event: empty cell or flight crossing the cell boundary —
+        # clamp to the boundary and resample next iteration (memoryless).
+        skip = (maj_op <= 0.0) | (t_tent > t_cell)
+        t_new = jnp.where(skip, t_cell + _BOUNDARY_EPS, t_tent)
         exited = t_new > s.t_end
 
         p = s.pos + t_new[:, None] * s.dir
         vol_sample = sample_volume_trilinear(volume.data, p)
         color = tf.sample(vol_sample)  # (N, 4)
         opacity = color[:, 3]
-        accept = u[:, 1] < opacity * inv_tau
+        # Acceptance against the LOCAL majorant: P = sigma(x) / sigma_maj.
+        accept = u[:, 1] * maj_op < opacity
+        collide = s.active & ~exited & ~skip & accept
 
-        interact = s.active & ~exited & accept
+        if config.no_single_scattering:
+            first_event = collide & ~s.first_done
+            interact = collide & s.first_done
+        else:
+            first_event = jnp.zeros_like(collide)
+            interact = collide
+
         # --- interaction (photontracer.cl:158-197) ---
         scattering = tf_scattering.sample(vol_sample)
         albedo = scattering[:, 3] / jnp.maximum(scattering[:, 3] + opacity, 1e-8)
@@ -151,22 +196,26 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         out_dir = jnp.where(slot[..., None], dir_angles[None, :, :], s.out_dir)
 
         # --- new direction for scattered photons ---
-        new_dir, _pdf = phase_mod.sample_phase(
+        new_dir, pdf = phase_mod.sample_phase(
             config.phase_type, s.dir, jnp.float32(config.phase_g),
             u[:, 3], u[:, 4])
         hit, bt0, bt1 = intersect.ray_box(p, new_dir)
-        still_active = s.active & ~exited & (~interact | (do_scatter & hit))
+        change_dir = do_scatter | first_event
+        still_active = s.active & ~exited & (~collide | (change_dir & hit))
 
-        pos_next = jnp.where(do_scatter[:, None], p, s.pos)
-        dir_next = jnp.where(do_scatter[:, None], new_dir, s.dir)
+        pos_next = jnp.where(change_dir[:, None], p, s.pos)
+        dir_next = jnp.where(change_dir[:, None], new_dir, s.dir)
         # Nudge past the interaction point (photontracer.cl:181-183).
-        t_next = jnp.where(do_scatter, bt0 + 0.5 * step_size,
+        t_next = jnp.where(change_dir, bt0 + 0.5 * step_size,
                            jnp.where(interact, s.t, t_new))
-        t_end_next = jnp.where(do_scatter, bt1, s.t_end)
-        power_next = jnp.where(interact[:, None],
-                               jnp.where(do_scatter[:, None], power_scat,
-                                         jnp.full((1, 3), big)),
-                               s.power)
+        t_end_next = jnp.where(change_dir, bt1, s.t_end)
+        power_next = jnp.where(
+            first_event[:, None],
+            s.power / jnp.maximum(pdf, 1e-8)[:, None],
+            jnp.where(interact[:, None],
+                      jnp.where(do_scatter[:, None], power_scat,
+                                jnp.full((1, 3), big)),
+                      s.power))
 
         return _TraceState(
             step=s.step + 1,
@@ -178,6 +227,7 @@ def trace_photons(volume: Volume, tf: TransferFunction,
             n_int=jnp.where(interact, n_int_new, s.n_int),
             active=still_active,
             absorbed=s.absorbed | do_absorb,
+            first_done=s.first_done | first_event,
             out_pos=out_pos,
             out_pow=out_pow,
             out_dir=out_dir,

@@ -1,0 +1,141 @@
+"""MXU photon-splat kernel: density estimation as a dense matmul.
+
+The reference splats photons with CAS-loop float atomics over the voxel AABB
+of each photon sphere (modules/progressivephotonmapping/cl/
+photonstolightvolume.cl:13-79). TPUs have no global atomics, and XLA's
+scatter-add lowers to a serialized loop (~150 M adds/s measured on v5e) —
+the 64-cell footprint expansion made the round-1 splat the pipeline
+bottleneck (524 ms for 262k photon interactions at 65^3).
+
+TPU-native redesign: a SEPARABLE density-estimation kernel turns the splat
+into a dense tensor contraction the MXU eats:
+
+    light[z, y, x, c] = sum_p  Kz[p, z] * Ky[p, y] * (Kx[p, x] * P[p, c])
+
+with K* the 1D Epanechnikov profile 0.75*(1 - (d/r)^2)+ per axis. The
+product (multiplicative) Epanechnikov kernel is a standard multivariate KDE
+kernel; it replaces the reference's radial kernel with identical support
+box and matching total mass (the PRODUCT_KERNEL_MATCH factor below), so
+images agree in expectation while the splat becomes pure FLOPs:
+2 * M * D*H * 3 * W MACs, no scatter, bit-deterministic.
+
+The Pallas kernel tiles (z*y) rows and photon chunks on a 2D grid,
+generates the A = Kz*Ky and B_c = Kx*P_c factor tiles on the VPU in VMEM,
+and accumulates A^T @ B_c on the MXU into a revisited output block. The
+XLA fallback (:func:`cpm_tpu.ops.splat.splat_product_xla`) computes the
+same contraction with lax.dot_general for CPU tests.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+# Ratio of the radial Epanechnikov mass (2*pi*r^3/5, the reference's kernel
+# integrated over its support sphere) to the product kernel mass (r^3), so
+# both kernels deposit the same expected irradiance under the reference's
+# 1/(sphereVolume*N) normalization (photontolightvolumeprocessorcl.cpp:388).
+PRODUCT_KERNEL_MATCH = 0.4 * math.pi
+
+_CHUNK = 512  # photons per grid step
+_TILE_ZY = 128  # output rows per grid step
+_TILE_X = 128  # output columns (padded W)
+
+
+def _epan(d: Array) -> Array:
+    return jnp.maximum(0.75 * (1.0 - d * d), 0.0)
+
+
+def _splat_kernel(zc_ref, yc_ref, xc_ref, pos_ref, pow_ref, inv_r_ref,
+                  out_ref):
+    """One (zy-tile, photon-chunk) step: out[zy, c, x] += A^T @ B_c."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    inv_r = inv_r_ref[0]
+    pz = pos_ref[:, 2:3]  # (CHUNK, 1)
+    py = pos_ref[:, 1:2]
+    px = pos_ref[:, 0:1]
+    # A[p, t] = Kz(zc[t] - pz[p]) * Ky(yc[t] - py[p])   (CHUNK, TILE_ZY)
+    a = (_epan((zc_ref[:].reshape(1, -1) - pz) * inv_r)
+         * _epan((yc_ref[:].reshape(1, -1) - py) * inv_r))
+    # Bx[p, x] = Kx(xc[x] - px[p])                      (CHUNK, TILE_X)
+    bx = _epan((xc_ref[:].reshape(1, -1) - px) * inv_r)
+    for c in range(3):
+        bc = bx * pow_ref[:, c:c + 1]
+        out_ref[:, c, :] += jax.lax.dot_general(
+            a, bc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("out_dim", "interpret"))
+def splat_product_pallas(positions: Array, powers: Array, radius_rel: Array,
+                         out_dim: tuple, interpret: bool = False) -> Array:
+    """Splat (M, 3) photon positions/powers into a (D, H, W, 3) grid with
+    the product-Epanechnikov kernel; powers must already carry the
+    irradiance scale and validity mask (invalid lanes: power 0).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+    d, h, w = out_dim
+    m = positions.shape[0]
+    m_pad = -(-m // _CHUNK) * _CHUNK
+    zy = d * h
+    zy_pad = -(-zy // _TILE_ZY) * _TILE_ZY
+    x_pad = -(-w // _TILE_X) * _TILE_X
+
+    # Voxel-center coordinate tables; padding rows get a far-away center so
+    # their kernel weight is exactly 0.
+    far = jnp.float32(-1e30)
+    zy_ids = np.arange(zy_pad)
+    zc = jnp.where(jnp.asarray(zy_ids < zy),
+                   (jnp.asarray(zy_ids // h, jnp.float32) + 0.5) / d, far)
+    yc = jnp.where(jnp.asarray(zy_ids < zy),
+                   (jnp.asarray(zy_ids % h, jnp.float32) + 0.5) / h, far)
+    xc = jnp.where(jnp.arange(x_pad) < w,
+                   (jnp.arange(x_pad, dtype=jnp.float32) + 0.5) / w, far)
+
+    pos = jnp.pad(positions, ((0, m_pad - m), (0, 0)),
+                  constant_values=1e30)
+    pw = jnp.pad(powers, ((0, m_pad - m), (0, 0)))
+    inv_r = (1.0 / jnp.asarray(radius_rel, jnp.float32)).reshape(1)
+
+    grid = (zy_pad // _TILE_ZY, m_pad // _CHUNK)
+    out = pl.pallas_call(
+        _splat_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE_ZY,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_ZY,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((x_pad,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, 3), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, 3), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE_ZY, 3, x_pad), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((zy_pad, 3, x_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * zy_pad * 3 * x_pad,
+            bytes_accessed=(m_pad * 24 + zy_pad * 3 * x_pad * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(zc, yc, xc, pos, pw, inv_r)
+
+    return jnp.moveaxis(out[:zy, :, :w].reshape(d, h, 3, w), 2, 3)

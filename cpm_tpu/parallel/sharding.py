@@ -67,18 +67,20 @@ def shard_light_samples(ls: LightSamples, mesh: Mesh,
     )
 
 
-@partial(jax.jit, static_argnames=("config", "out_dim", "mesh", "axis_name"))
+@partial(jax.jit, static_argnames=("config", "out_dim", "footprint", "mesh",
+                                   "axis_name"))
 def sharded_trace_splat(volume: Volume, tf: TransferFunction,
                         tf_scattering: TransferFunction,
                         light_samples: LightSamples, key: Array,
-                        config, out_dim: tuple, mesh: Mesh,
+                        config, out_dim: tuple, footprint: int, mesh: Mesh,
                         axis_name: str = "data"):
     """Trace photons sharded over ``axis_name`` and reduce per-shard splat
     grids with one psum.
 
     Returns (photons sharded over lanes, replicated (D,H,W,3) light volume).
-    ``config`` is a TracerConfig; splat footprint/scale come from the photon
-    radius exactly as in the single-chip path.
+    ``config`` is a TracerConfig; ``footprint`` is the validated splat
+    footprint from :func:`cpm_tpu.pipeline.step.splat_footprint` so the
+    sharded grid matches the single-chip result for any config.
     """
     n = light_samples.n
     n_shards = mesh.shape[axis_name]
@@ -96,7 +98,8 @@ def sharded_trace_splat(volume: Volume, tf: TransferFunction,
             volume, tf, tf_scattering, ls_shard, key_rep, config,
             lane_ids=lane_ids)
         # Per-shard partial grid; scale must use the GLOBAL photon count.
-        partial_lv = splat.splat_all(photons, out_dim, footprint=4, n_total=n)
+        partial_lv = splat.splat_all(photons, out_dim, footprint=footprint,
+                                     n_total=n)
         lv = jax.lax.psum(partial_lv, axis_name)
         return photons, lv
 
@@ -146,14 +149,15 @@ def sharded_full_step(scene: Scene, state: PhotonMapState,
     dim = pstep.light_volume_shape(config)
     photons, lv = sharded_trace_splat(
         scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
-        key, config.tracer, dim, mesh, axis_name)
+        key, config.tracer, dim, pstep.splat_footprint(config), mesh,
+        axis_name)
     photons = photons.replace(
         radius_rel=jnp.float32(config.tracer.radius_rel),
         scene_radius=scene.volume.scene_radius(),
         iteration=jnp.int32(0))
     state = state.replace(photons=photons, light_volume=lv,
                           light_volume_accum=lv,
-                          recompute_offset=jnp.int32(0),
+                          retraced=jnp.zeros(photons.n, bool),
                           n_remaining=jnp.int32(0))
 
     h, w = config.render.height, config.render.width

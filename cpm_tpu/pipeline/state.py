@@ -58,6 +58,8 @@ class PhotonMapState:
     light_volume: Array  # (D, H, W, 3) current-iteration irradiance
     light_volume_accum: Array  # (D, H, W, 3) progressive average
     key: Array  # base PRNG key (stream root)
-    recompute_offset: Array  # () int32 — progressive drain position
+    retraced: Array  # (N,) bool — photons already retraced this drain round
+    # (the analog of the reference's resetPhotonImportance sentinel,
+    # progressivephotontracercl.cpp:607-611)
     n_remaining: Array  # () int32 — flagged photons not yet retraced
     prev_minmax: Array | None = None  # previous time step's min/max grid

@@ -81,6 +81,26 @@ def light_volume_shape(config: PipelineConfig) -> tuple:
     return (d, d, d)
 
 
+def splat_footprint(config: PipelineConfig) -> int:
+    """Static splat footprint, validated against the photon radius.
+
+    The splat AABB spans at most floor(2*r*dim) + 2 voxels per axis
+    (photonstolightvolume.cl:45-47); a smaller static footprint silently
+    truncates the kernel support and drops energy (round-1 weak finding #3).
+    The progressive radius only shrinks (Knaus-Zwicker), so validating the
+    config radius bounds every later iteration.
+    """
+    dim = max(light_volume_shape(config))
+    required = int(2.0 * config.tracer.radius_rel * dim) + 2
+    fp = max(config.splat.footprint, required)
+    if fp > 16:
+        raise ValueError(
+            f"splat footprint {fp} (radius_rel={config.tracer.radius_rel}, "
+            f"light volume dim={dim}) exceeds 16 voxels; use a coarser light "
+            "volume or a smaller radius")
+    return fp
+
+
 def init_state(scene: Scene, config: PipelineConfig, seed: int = 0) -> PhotonMapState:
     """Fresh progressive state: emitted light samples, empty photon buffer,
     zero light volume."""
@@ -95,7 +115,7 @@ def init_state(scene: Scene, config: PipelineConfig, seed: int = 0) -> PhotonMap
     return PhotonMapState(
         photons=photons, light_samples=ls, light_volume=zeros,
         light_volume_accum=zeros, key=key,
-        recompute_offset=jnp.int32(0), n_remaining=jnp.int32(0))
+        retraced=jnp.zeros(ls.n, bool), n_remaining=jnp.int32(0))
 
 
 def _trace_key(state: PhotonMapState) -> Array:
@@ -129,10 +149,10 @@ def full_trace_step(scene: Scene, state: PhotonMapState,
         scene_radius=scene.volume.scene_radius())
 
     dim = light_volume_shape(config)
-    lv = splat.splat_all(photons, dim, config.splat.footprint)
+    lv = splat.splat_all(photons, dim, splat_footprint(config))
     return state.replace(
         photons=photons, light_volume=lv, light_volume_accum=lv,
-        recompute_offset=jnp.int32(0), n_remaining=jnp.int32(0))
+        retraced=jnp.zeros(photons.n, bool), n_remaining=jnp.int32(0))
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +183,7 @@ def progressive_step(scene: Scene, state: PhotonMapState,
         scene_radius=scene.volume.scene_radius())
 
     dim = light_volume_shape(config)
-    lv = splat.splat_all(photons, dim, config.splat.footprint)
+    lv = splat.splat_all(photons, dim, splat_footprint(config))
     it = iteration.astype(jnp.float32)
     accum = (state.light_volume_accum * it + lv) / (it + 1.0)
     return state.replace(photons=photons, light_volume=lv,
@@ -193,22 +213,39 @@ def correlated_step(scene: Scene, state: PhotonMapState,
 
     The jitted analog of the IF-importance-connected branch of
     ProgressivePhotonTracerCL::process() (cpp:265-540) fused with
-    PhotonToLightVolume's incremental path (cpp:196-298)."""
+    PhotonToLightVolume's incremental path (cpp:196-298).
+
+    Drain semantics: photons in ``state.retraced`` are excluded from
+    selection (the analog of resetPhotonImportance's sentinel fill,
+    cpp:607-611) so a multi-frame drain retraces every flagged photon
+    exactly once. A TF/Volume invalidation resets the progressive state
+    (iteration 0, config radius, accumulator = corrected volume) exactly as
+    the reference does (cpp:244-257) — the caller (:func:`step`) clears the
+    drain bookkeeping on a *fresh* invalidation.
+    """
     from cpm_tpu.ops import tracer
+
+    # The progressive iteration restarts on any TF/volume change
+    # (cpp:244-257); during a drain it is already 0.
+    iteration = jnp.int32(0)
+    photons = state.photons.replace(
+        iteration=iteration,
+        radius_rel=jnp.float32(config.tracer.radius_rel))
 
     # -- per-photon path importance (photonrecomputationdetector.cl:92-157)
     if config.recompute.equal_importance:
         imp = path_importance.equal_importance(
-            state.photons.n, state.photons.iteration,
+            photons.n, photons.iteration,
             config.recompute.equal_importance_percentage)
     else:
         imp = path_importance.photon_path_importance(
-            importance_grid, state.photons, state.light_samples,
+            importance_grid, photons, state.light_samples,
             max_steps=config.recompute.importance_steps)
 
-    # -- threshold + sort + budget (cpp:327-419)
+    # -- threshold + sort + budget (cpp:327-419), excluding photons already
+    #    retraced this round
     indices, valid, n_remaining = select.select_photons_to_recompute(
-        imp, budget, start_offset=state.recompute_offset)
+        imp, budget, exclude=state.retraced)
 
     # -- retrace only the selected light samples (recompute kernel variant,
     #    photontracer.cl:95-110): gather the sub-bundle, trace, merge back.
@@ -221,30 +258,40 @@ def correlated_step(scene: Scene, state: PhotonMapState,
                         jnp.array([0.0, -1.0], jnp.float32)),
         iteration=state.light_samples.iteration,
     )
-    key = _trace_key(state)
+    key = jax.random.fold_in(state.key, iteration)
     new = tracer.trace_photons(
         scene.volume, scene.tf, scene.tf_scattering, sub, key, config.tracer,
         lane_ids=safe)
-    new = new.replace(radius_rel=state.photons.radius_rel,
-                      scene_radius=state.photons.scene_radius,
-                      iteration=state.photons.iteration)
+    new = new.replace(radius_rel=photons.radius_rel,
+                      scene_radius=photons.scene_radius,
+                      iteration=iteration)
+    merged = tracer.merge_recomputed(photons, new, indices, valid)
 
-    # -- incremental splat: remove old contribution, add new (the
+    # -- light-volume update: incremental remove/add (the
     #    photonRadianceMultiplier +-1 trick, photonstolightvolume.cl:182-199)
+    #    unless the changed fraction exceeds the threshold, in which case a
+    #    full resplat is cheaper (photontolightvolumeprocessorcl.cpp:196).
     dim = light_volume_shape(config)
-    fp = config.splat.footprint
-    removed = splat.splat_selected(state.photons, indices, valid, dim, fp)
-    merged = tracer.merge_recomputed(state.photons, new, indices, valid)
-    added = splat.splat_selected(merged, indices, valid, dim, fp)
-    lv = state.light_volume - removed + added
+    fp = splat_footprint(config)
+    n_changed = jnp.sum(valid.astype(jnp.int32))
+    threshold = jnp.int32(config.splat.incremental_threshold * photons.n)
 
-    it = state.photons.iteration.astype(jnp.float32)
-    accum = (state.light_volume_accum * it + lv) / (it + 1.0)
+    def _incremental(_):
+        removed = splat.splat_selected(photons, indices, valid, dim, fp)
+        added = splat.splat_selected(merged, indices, valid, dim, fp)
+        return state.light_volume - removed + added
+
+    def _full(_):
+        return splat.splat_all(merged, dim, fp)
+
+    lv = jax.lax.cond(n_changed >= threshold, _full, _incremental, None)
+
+    drop_invalid = jnp.where(valid, indices, photons.n)
+    retraced = state.retraced.at[drop_invalid].set(True, mode="drop")
     return state.replace(
-        photons=merged, light_volume=lv, light_volume_accum=accum,
-        recompute_offset=jnp.where(n_remaining > 0,
-                                   state.recompute_offset + budget,
-                                   jnp.int32(0)),
+        photons=merged, light_volume=lv, light_volume_accum=lv,
+        retraced=jnp.where(n_remaining > 0, retraced,
+                           jnp.zeros_like(retraced)),
         n_remaining=n_remaining)
 
 
@@ -321,6 +368,11 @@ def step(scene: Scene, state: PhotonMapState, config: PipelineConfig,
             flags.tf or flags.volume):
         return full_trace_step(scene, state, config)
     if (flags.tf or flags.volume) and importance_grid is not None:
+        # A FRESH invalidation restarts the drain round: clear the
+        # already-retraced mask so selection against the new importance grid
+        # starts from the top priorities (ADVICE round 1, step.py:211).
+        state = state.replace(retraced=jnp.zeros_like(state.retraced),
+                              n_remaining=jnp.int32(0))
         budget = recompute_budget(config, state.photons.n)
         return correlated_step(scene, state, config, importance_grid, budget)
     if flags.progressive:

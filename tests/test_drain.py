@@ -1,0 +1,125 @@
+"""Multi-batch drain of the correlated recomputation with a real
+(non-uniform) importance grid: each flagged photon is retraced exactly once
+per round, n_remaining converges to 0, and a fresh invalidation restarts the
+round (VERDICT round 1, weak finding #2 / next-round item #5)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cpm_tpu.core.camera import Camera
+from cpm_tpu.core.config import (PipelineConfig, RecomputeConfig, RenderConfig,
+                                 TracerConfig)
+from cpm_tpu.core.lights import Light
+from cpm_tpu.core.scene import Scene
+from cpm_tpu.core.types import TransferFunction, Volume
+from cpm_tpu.io import synthetic
+from cpm_tpu.ops import path_importance
+from cpm_tpu.pipeline import step as pstep
+from cpm_tpu.pipeline.state import DirtyFlags
+
+
+def _setup(frac=0.1):
+    vol = Volume.from_data(synthetic.sphere_in_box(32))
+    tf = TransferFunction.from_points(*synthetic.default_tf_points())
+    tfs = TransferFunction.from_points(*synthetic.default_scattering_points())
+    scene = Scene.create(vol, tf, tfs, [Light.directional((0.0, -1.0, 0.3))],
+                         Camera.create())
+    cfg = PipelineConfig(
+        photons_x=32, photons_y=32,
+        tracer=TracerConfig(max_interactions=2, max_steps=3000),
+        render=RenderConfig(width=16, height=16),
+        recompute=RecomputeConfig(max_photons_fraction=frac))
+    st = pstep.init_state(scene, cfg)
+    st = pstep.full_trace_step(scene, st, cfg)
+    return scene, cfg, st
+
+
+class TestMultiBatchDrain:
+    def test_drain_converges_and_never_repeats(self):
+        scene, cfg, st = _setup(frac=0.1)
+        # Real, non-uniform importance: the sphere cells score high, the
+        # empty border zero — many photons flagged, many not.
+        ig = pstep.build_importance_grid(scene, cfg)
+        imp0 = np.asarray(path_importance.photon_path_importance(
+            ig, st.photons, st.light_samples,
+            max_steps=cfg.recompute.importance_steps))
+        n_flagged = int((imp0 > 0).sum())
+        assert 0 < n_flagged  # non-trivial workload
+        budget = pstep.recompute_budget(cfg, st.photons.n)
+        assert budget < n_flagged  # forces a multi-batch drain
+
+        # Fresh TF invalidation starts the round.
+        st = pstep.step(scene, st, cfg, DirtyFlags(tf=True), ig)
+        seen = np.asarray(st.retraced).copy()
+        assert seen.sum() == min(budget, n_flagged)
+        batches = 1
+        while int(st.n_remaining) > 0:
+            prev = seen.copy()
+            st = pstep.step(scene, st, cfg, DirtyFlags(progressive=True), ig)
+            now = np.asarray(st.retraced)
+            if int(st.n_remaining) > 0:
+                # mask grows monotonically; no photon retraced twice
+                assert (now[prev] == True).all()  # noqa: E712
+                assert now.sum() > prev.sum()
+                seen = now.copy()
+            batches += 1
+            assert batches < 64, "drain did not converge"
+        # Retraced photons are exactly the flagged ones (mask is cleared on
+        # the final batch; count batches instead).
+        assert batches == -(-n_flagged // budget)
+        assert int(st.n_remaining) == 0
+
+    def test_fresh_invalidation_resets_round(self):
+        scene, cfg, st = _setup(frac=0.1)
+        ig = pstep.build_importance_grid(scene, cfg)
+        st = pstep.step(scene, st, cfg, DirtyFlags(tf=True), ig)
+        assert int(st.n_remaining) > 0
+        mid_mask = np.asarray(st.retraced)
+        assert mid_mask.sum() > 0
+        # A second TF edit mid-drain restarts from the top priorities: the
+        # new first batch equals the first batch of the original round.
+        st2 = pstep.step(scene, st, cfg, DirtyFlags(tf=True), ig)
+        np.testing.assert_array_equal(np.asarray(st2.retraced), mid_mask)
+
+    def test_correlated_resets_progressive_state(self):
+        """A TF-triggered correlated update restarts the progressive
+        average (ADVICE round 1, step.py:242): iteration 0, config radius,
+        accumulator == corrected light volume."""
+        scene, cfg, st = _setup(frac=0.5)
+        # advance progressive a few waves first
+        st = pstep.step(scene, st, cfg, DirtyFlags(progressive=True))
+        st = pstep.step(scene, st, cfg, DirtyFlags(progressive=True))
+        assert int(st.photons.iteration) == 2
+        ig = pstep.build_importance_grid(scene, cfg)
+        st2 = pstep.step(scene, st, cfg, DirtyFlags(tf=True), ig)
+        assert int(st2.photons.iteration) == 0
+        assert float(st2.photons.radius_rel) == np.float32(
+            cfg.tracer.radius_rel)
+        np.testing.assert_array_equal(np.asarray(st2.light_volume_accum),
+                                      np.asarray(st2.light_volume))
+
+
+class TestIncrementalThresholdFallback:
+    def test_large_batch_triggers_full_resplat(self):
+        """When the changed fraction exceeds splat.incremental_threshold the
+        light volume is rebuilt from scratch (photontolightvolumeprocessorcl
+        .cpp:196): the result must still match an explicit full splat, and
+        carry no -1/+1 cancellation residue from a stale prior volume."""
+        from cpm_tpu.core.config import SplatConfig
+        scene, cfg, st = _setup(frac=1.0)
+        cfg_thresh = PipelineConfig(
+            photons_x=cfg.photons_x, photons_y=cfg.photons_y,
+            tracer=cfg.tracer, render=cfg.render,
+            recompute=RecomputeConfig(max_photons_fraction=1.0),
+            splat=SplatConfig(incremental_threshold=0.5))
+        ig = pstep.build_importance_grid(scene, cfg_thresh)
+        ones = ig.replace(data=jnp.ones_like(ig.data))
+        # Poison the prior volume: a full resplat ignores it, an incremental
+        # -1/+1 pass would keep the poison term.
+        poison = st.replace(light_volume=st.light_volume + 123.0)
+        budget = pstep.recompute_budget(cfg_thresh, st.photons.n)
+        st2 = pstep.correlated_step(scene, poison, cfg_thresh, ones, budget)
+        full = pstep.full_trace_step(scene, st, cfg_thresh)
+        np.testing.assert_allclose(np.asarray(st2.light_volume),
+                                   np.asarray(full.light_volume),
+                                   rtol=1e-3, atol=1e-3)

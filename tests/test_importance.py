@@ -210,13 +210,17 @@ class TestSelect:
         sel = np.asarray(idx)[np.asarray(valid)]
         assert np.all(np.diff(sel) > 0)
 
-    def test_progressive_drain_offset(self):
+    def test_progressive_drain_exclude(self):
+        """The drain excludes already-retraced photons (the analog of
+        resetPhotonImportance, progressivephotontracercl.cpp:607-611): with
+        the top-3 masked out, the next batch picks the next priorities."""
         imp = jnp.array([0.0, 5.0, 1.0, 0.0, 3.0, 2.0, 0.0, 4.0])
+        done = jnp.array([False, True, False, False, True, False, False, True])
         idx, valid, rem = select.select_photons_to_recompute(
-            imp, budget=3, start_offset=jnp.int32(3), spatial_sort=False)
-        # ranks 3,4 -> photons 5 (imp 2) and 2 (imp 1)
-        sel = set(np.asarray(idx)[np.asarray(valid)].tolist())
-        assert sel == {5, 2}
+            imp, budget=3, exclude=done, spatial_sort=False)
+        # remaining flagged: photons 5 (imp 2) and 2 (imp 1)
+        sel = np.asarray(idx)[np.asarray(valid)].tolist()
+        assert sel == [5, 2]
         assert int(rem) == 0
 
 

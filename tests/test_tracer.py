@@ -147,3 +147,47 @@ class TestRecomputeMerge:
         # invalid lane 200 keeps original
         np.testing.assert_array_equal(m[:, 200],
                                       np.asarray(p1.positions)[:, 200])
+
+
+class TestNoSingleScattering:
+    def test_first_interaction_not_deposited(self):
+        """Under no_single_scattering the first interaction scatters without
+        being stored (photontracer.cl:143-157): with maxI=1, stored photons
+        can only come from the SECOND collision, so they lie off the
+        original ray line and are strictly fewer than in the default mode."""
+        vol, tf, tf_s = _homogeneous_scene(0.5, 0.9)
+        grid = sampling.stratified_grid_2d(64, 64)
+        light = Light.directional([0.0, 0.0, 1.0])
+        ls = emit.emit(light, grid)
+        base = TracerConfig(max_interactions=1)
+        nss = TracerConfig(max_interactions=1, no_single_scattering=True)
+        key = jax.random.PRNGKey(0)
+        p_base = tracer.trace_photons(vol, tf, tf_s, ls, key, base)
+        p_nss = tracer.trace_photons(vol, tf, tf_s, ls, key, nss)
+
+        stored_base = np.asarray(p_base.positions[0, :, 0]) < 1e30
+        stored_nss = np.asarray(p_nss.positions[0, :, 0]) < 1e30
+        assert 0 < stored_nss.sum() < stored_base.sum()
+
+        # Default mode: first deposit sits ON the original ray (x,y match
+        # the emission point). NSS mode: deposits come after one scatter,
+        # so most leave the ray line.
+        origins = np.asarray(ls.origins)
+        pos_nss = np.asarray(p_nss.positions[0])
+        off_ray = (np.abs(pos_nss[stored_nss, :2]
+                          - origins[stored_nss, :2]).max(axis=1) > 1e-4)
+        assert off_ray.mean() > 0.9
+
+    def test_default_mode_unchanged(self):
+        """no_single_scattering=False is the exact default path."""
+        vol, tf, tf_s = _homogeneous_scene(0.5, 0.9)
+        grid = sampling.stratified_grid_2d(32, 32)
+        ls = emit.emit(Light.directional([0.0, 0.0, 1.0]), grid)
+        key = jax.random.PRNGKey(0)
+        a = tracer.trace_photons(vol, tf, tf_s, ls, key,
+                                 TracerConfig(max_interactions=2))
+        b = tracer.trace_photons(
+            vol, tf, tf_s, ls, key,
+            TracerConfig(max_interactions=2, no_single_scattering=False))
+        np.testing.assert_array_equal(np.asarray(a.positions),
+                                      np.asarray(b.positions))
