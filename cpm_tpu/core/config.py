@@ -46,6 +46,9 @@ class SplatConfig:
     volume_dim: int = 64  # used when volume_size_from_radius is False
     footprint: int = 4  # voxels per axis covered per photon (static)
     incremental_threshold: float = 0.6  # fraction above which a full resplat runs
+    # "auto" -> MXU Pallas matmul splat on TPU, XLA matmul twin on CPU;
+    # "scatter" -> exact radial-kernel scatter-add (reference parity).
+    method: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -45,8 +45,8 @@ Array = jnp.ndarray
 # 1/(sphereVolume*N) normalization (photontolightvolumeprocessorcl.cpp:388).
 PRODUCT_KERNEL_MATCH = 0.4 * math.pi
 
-_CHUNK = 512  # photons per grid step
-_TILE_ZY = 128  # output rows per grid step
+_CHUNK = 1024  # photons per grid step
+_TILE_ZY = 512  # output rows per grid step
 _TILE_X = 128  # output columns (padded W)
 
 
@@ -63,15 +63,15 @@ def _splat_kernel(zc_ref, yc_ref, xc_ref, pos_ref, pow_ref, inv_r_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    inv_r = inv_r_ref[0]
+    inv_r = inv_r_ref[0, 0]
     pz = pos_ref[:, 2:3]  # (CHUNK, 1)
     py = pos_ref[:, 1:2]
     px = pos_ref[:, 0:1]
     # A[p, t] = Kz(zc[t] - pz[p]) * Ky(yc[t] - py[p])   (CHUNK, TILE_ZY)
-    a = (_epan((zc_ref[:].reshape(1, -1) - pz) * inv_r)
-         * _epan((yc_ref[:].reshape(1, -1) - py) * inv_r))
+    a = (_epan((zc_ref[:] - pz) * inv_r)
+         * _epan((yc_ref[:] - py) * inv_r))
     # Bx[p, x] = Kx(xc[x] - px[p])                      (CHUNK, TILE_X)
-    bx = _epan((xc_ref[:].reshape(1, -1) - px) * inv_r)
+    bx = _epan((xc_ref[:] - px) * inv_r)
     for c in range(3):
         bc = bx * pow_ref[:, c:c + 1]
         out_ref[:, c, :] += jax.lax.dot_general(
@@ -95,38 +95,42 @@ def splat_product_pallas(positions: Array, powers: Array, radius_rel: Array,
     zy_pad = -(-zy // _TILE_ZY) * _TILE_ZY
     x_pad = -(-w // _TILE_X) * _TILE_X
 
-    # Voxel-center coordinate tables; padding rows get a far-away center so
-    # their kernel weight is exactly 0.
+    # Voxel-center coordinate tables (kept 2D for TPU layouts); padding rows
+    # get a far-away center so their kernel weight is exactly 0.
     far = jnp.float32(-1e30)
     zy_ids = np.arange(zy_pad)
     zc = jnp.where(jnp.asarray(zy_ids < zy),
-                   (jnp.asarray(zy_ids // h, jnp.float32) + 0.5) / d, far)
+                   (jnp.asarray(zy_ids // h, jnp.float32) + 0.5) / d,
+                   far).reshape(1, zy_pad)
     yc = jnp.where(jnp.asarray(zy_ids < zy),
-                   (jnp.asarray(zy_ids % h, jnp.float32) + 0.5) / h, far)
+                   (jnp.asarray(zy_ids % h, jnp.float32) + 0.5) / h,
+                   far).reshape(1, zy_pad)
     xc = jnp.where(jnp.arange(x_pad) < w,
-                   (jnp.arange(x_pad, dtype=jnp.float32) + 0.5) / w, far)
+                   (jnp.arange(x_pad, dtype=jnp.float32) + 0.5) / w,
+                   far).reshape(1, x_pad)
 
     pos = jnp.pad(positions, ((0, m_pad - m), (0, 0)),
                   constant_values=1e30)
     pw = jnp.pad(powers, ((0, m_pad - m), (0, 0)))
-    inv_r = (1.0 / jnp.asarray(radius_rel, jnp.float32)).reshape(1)
+    inv_r = (1.0 / jnp.asarray(radius_rel, jnp.float32)).reshape(1, 1)
 
     grid = (zy_pad // _TILE_ZY, m_pad // _CHUNK)
     out = pl.pallas_call(
         _splat_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE_ZY,), lambda i, j: (i,),
+            pl.BlockSpec((1, _TILE_ZY), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_ZY,), lambda i, j: (i,),
+            pl.BlockSpec((1, _TILE_ZY), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((x_pad,), lambda i, j: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, 3), lambda i, j: (j, 0),
+            pl.BlockSpec((1, x_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, 3), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_CHUNK, 3), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((_TILE_ZY, 3, x_pad), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -1,0 +1,205 @@
+"""Multi-host distribution: (hosts, chips) mesh, DCN-aware layout, scaling
+benchmark harness.
+
+The reference is a single-GPU interactive app (SURVEY.md §2.9 — no MPI/NCCL
+anywhere); multi-host scale-out is a NEW capability demanded by the
+BASELINE north star (config 5: 512^3 volume, 4M photons, multi-host v5e,
+>=85% 1->4-host scaling efficiency).
+
+Design (scaling-book recipe):
+- 2-D logical mesh ``("hosts", "chips")``. The "hosts" axis crosses DCN,
+  "chips" rides ICI. Photons and camera rays are sharded over BOTH axes
+  (pure data parallelism): the trace and ray-march loops are
+  communication-free, so DCN latency only touches the one light-volume
+  reduction per step.
+- The light-volume reduction is a two-stage psum: ``psum over "chips"``
+  (ICI, fast) then ``psum over "hosts"`` (DCN, one small ~3 MB grid per
+  host). XLA emits exactly that from a single psum over both axes on a
+  hybrid mesh, so the shard function simply reduces over both.
+- RNG streams are keyed by GLOBAL lane id (ops/rng.py counters), so photon
+  trajectories are bit-identical no matter how lanes land on hosts/chips —
+  the property the sharded==single allclose tests pin down.
+
+On a real pod: call :func:`initialize_distributed` first (jax.distributed),
+then :func:`make_hosts_chips_mesh` builds the hybrid mesh with
+``mesh_utils.create_hybrid_device_mesh``. In CPU simulation
+(``--xla_force_host_platform_device_count=N``) the same code paths run with
+a reshaped local-device mesh, which is how tests/test_multihost.py and the
+scaling bench exercise them without a pod.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cpm_tpu.core.config import PipelineConfig
+from cpm_tpu.core.scene import Scene
+from cpm_tpu.core.types import LightSamples, PhotonData, TransferFunction, Volume
+from cpm_tpu.ops import gather, splat, tracer
+from cpm_tpu.pipeline import step as pstep
+from cpm_tpu.pipeline.state import PhotonMapState
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+Array = jax.Array
+
+HOST_AXIS = "hosts"
+CHIP_AXIS = "chips"
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Bring up jax.distributed for a real multi-host run.
+
+    No-op when already initialized or when running single-process (CPU
+    simulation / single host). Arguments default to the JAX_* env vars the
+    launcher sets on TPU pods.
+    """
+    if jax.process_count() > 1:  # already initialized
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError):
+        # Single-process run (no coordinator configured): proceed locally.
+        pass
+
+
+def make_hosts_chips_mesh(n_hosts: int | None = None,
+                          devices=None) -> Mesh:
+    """Build the (hosts, chips) mesh.
+
+    Real pods: one "host" row per process, DCN-aware via
+    ``create_hybrid_device_mesh``. Simulation (single process, forced device
+    count): reshape the local devices into (n_hosts, -1) — the collective
+    structure is identical, only the physical transport differs.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+        per_host = len(devices) // jax.process_count()
+        dm = mesh_utils.create_hybrid_device_mesh(
+            (1, per_host), (jax.process_count(), 1), devices=devices)
+        return Mesh(dm, (HOST_AXIS, CHIP_AXIS))
+    if n_hosts is None:
+        n_hosts = 1
+    assert len(devices) % n_hosts == 0, (len(devices), n_hosts)
+    dm = np.asarray(devices).reshape(n_hosts, -1)
+    return Mesh(dm, (HOST_AXIS, CHIP_AXIS))
+
+
+def shard_light_samples_2d(ls: LightSamples, mesh: Mesh) -> LightSamples:
+    """Photons shard over the flattened (hosts, chips) grid."""
+    sh = NamedSharding(mesh, P((HOST_AXIS, CHIP_AXIS)))
+    rep = NamedSharding(mesh, P())
+    return LightSamples(
+        origins=jax.device_put(ls.origins, sh),
+        directions=jax.device_put(ls.directions, sh),
+        powers=jax.device_put(ls.powers, sh),
+        tspan=jax.device_put(ls.tspan, sh),
+        iteration=jax.device_put(ls.iteration, rep),
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "out_dim", "footprint",
+                                   "method", "mesh"))
+def multihost_trace_splat(volume: Volume, tf: TransferFunction,
+                          tf_scattering: TransferFunction,
+                          light_samples: LightSamples, key: Array,
+                          config, out_dim: tuple, footprint: int,
+                          method: str, mesh: Mesh):
+    """Trace + splat over the 2-D mesh; the light volume is reduced with a
+    chips-then-hosts psum pair (ICI first, DCN once)."""
+    n = light_samples.n
+    n_shards = mesh.shape[HOST_AXIS] * mesh.shape[CHIP_AXIS]
+    assert n % n_shards == 0, (n, n_shards)
+    per = n // n_shards
+
+    both = (HOST_AXIS, CHIP_AXIS)
+    ls_spec = LightSamples(
+        origins=P(both), directions=P(both), powers=P(both),
+        tspan=P(both), iteration=P())
+    photon_spec = PhotonData(
+        positions=P(None, both), powers=P(None, both),
+        directions=P(None, both), exit_power=P(both),
+        exit_direction=P(both), radius_rel=P(), scene_radius=P(),
+        iteration=P())
+
+    n_chips = mesh.shape[CHIP_AXIS]
+
+    def shard_fn(ls_shard: LightSamples, key_rep: Array):
+        shard_id = (jax.lax.axis_index(HOST_AXIS) * n_chips
+                    + jax.lax.axis_index(CHIP_AXIS))
+        lane_ids = shard_id * per + jnp.arange(per, dtype=jnp.int32)
+        photons = tracer.trace_photons(
+            volume, tf, tf_scattering, ls_shard, key_rep, config,
+            lane_ids=lane_ids)
+        partial_lv = splat.splat_all(photons, out_dim, footprint=footprint,
+                                     n_total=n, method=method)
+        # ICI reduction within a host, then one DCN reduction across hosts.
+        lv = jax.lax.psum(partial_lv, CHIP_AXIS)
+        lv = jax.lax.psum(lv, HOST_AXIS)
+        return photons, lv
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(ls_spec, P()),
+        out_specs=(photon_spec, P()),
+        check_vma=False,
+    )(light_samples, key)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "ambient", "mesh"))
+def multihost_render_rays(volume: Volume, tf: TransferFunction,
+                          light_volume: Array, o: Array, d: Array,
+                          n_steps: int, ambient: float, mesh: Mesh) -> Array:
+    """Camera rays sharded over the flattened mesh; scene replicated."""
+    both = (HOST_AXIS, CHIP_AXIS)
+
+    def shard_fn(o_s, d_s):
+        return gather.render_rays(volume, tf, light_volume, o_s, d_s,
+                                  n_steps, ambient)
+
+    return shard_map(shard_fn, mesh=mesh, in_specs=(P(both), P(both)),
+                     out_specs=P(both), check_vma=False)(o, d)
+
+
+def multihost_full_step(scene: Scene, state: PhotonMapState,
+                        config: PipelineConfig, mesh: Mesh):
+    """Full pipeline step over the (hosts, chips) mesh; the multi-host twin
+    of :func:`cpm_tpu.parallel.sharding.sharded_full_step`."""
+    key = jax.random.fold_in(state.key, 0)
+    dim = pstep.light_volume_shape(config)
+    photons, lv = multihost_trace_splat(
+        scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
+        key, config.tracer, dim, pstep.splat_footprint(config),
+        pstep.splat_method(config), mesh)
+    photons = photons.replace(
+        radius_rel=jnp.float32(config.tracer.radius_rel),
+        scene_radius=scene.volume.scene_radius(),
+        iteration=jnp.int32(0))
+    state = state.replace(photons=photons, light_volume=lv,
+                          light_volume_accum=lv,
+                          retraced=jnp.zeros(photons.n, bool),
+                          n_remaining=jnp.int32(0))
+
+    h, w = config.render.height, config.render.width
+    origins, dirs = scene.camera.rays(w, h)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    dim_max = max(scene.volume.data.shape)
+    n_steps = int(3 ** 0.5 * dim_max * config.render.sampling_rate) + 1
+    img = multihost_render_rays(scene.volume, scene.tf, lv, o, d, n_steps,
+                                config.render.ambient, mesh)
+    return state, img.reshape(h, w, 4)

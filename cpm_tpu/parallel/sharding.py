@@ -67,13 +67,13 @@ def shard_light_samples(ls: LightSamples, mesh: Mesh,
     )
 
 
-@partial(jax.jit, static_argnames=("config", "out_dim", "footprint", "mesh",
-                                   "axis_name"))
+@partial(jax.jit, static_argnames=("config", "out_dim", "footprint",
+                                   "method", "mesh", "axis_name"))
 def sharded_trace_splat(volume: Volume, tf: TransferFunction,
                         tf_scattering: TransferFunction,
                         light_samples: LightSamples, key: Array,
-                        config, out_dim: tuple, footprint: int, mesh: Mesh,
-                        axis_name: str = "data"):
+                        config, out_dim: tuple, footprint: int, method: str,
+                        mesh: Mesh, axis_name: str = "data"):
     """Trace photons sharded over ``axis_name`` and reduce per-shard splat
     grids with one psum.
 
@@ -99,7 +99,7 @@ def sharded_trace_splat(volume: Volume, tf: TransferFunction,
             lane_ids=lane_ids)
         # Per-shard partial grid; scale must use the GLOBAL photon count.
         partial_lv = splat.splat_all(photons, out_dim, footprint=footprint,
-                                     n_total=n)
+                                     n_total=n, method=method)
         lv = jax.lax.psum(partial_lv, axis_name)
         return photons, lv
 
@@ -149,8 +149,8 @@ def sharded_full_step(scene: Scene, state: PhotonMapState,
     dim = pstep.light_volume_shape(config)
     photons, lv = sharded_trace_splat(
         scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
-        key, config.tracer, dim, pstep.splat_footprint(config), mesh,
-        axis_name)
+        key, config.tracer, dim, pstep.splat_footprint(config),
+        pstep.splat_method(config), mesh, axis_name)
     photons = photons.replace(
         radius_rel=jnp.float32(config.tracer.radius_rel),
         scene_radius=scene.volume.scene_radius(),

@@ -81,6 +81,14 @@ def light_volume_shape(config: PipelineConfig) -> tuple:
     return (d, d, d)
 
 
+def splat_method(config: PipelineConfig) -> str:
+    """Resolve the static splat backend ("auto" picks the MXU Pallas kernel
+    on TPU, its XLA twin elsewhere)."""
+    if config.splat.method == "auto":
+        return splat.default_method()
+    return config.splat.method
+
+
 def splat_footprint(config: PipelineConfig) -> int:
     """Static splat footprint, validated against the photon radius.
 
@@ -149,7 +157,8 @@ def full_trace_step(scene: Scene, state: PhotonMapState,
         scene_radius=scene.volume.scene_radius())
 
     dim = light_volume_shape(config)
-    lv = splat.splat_all(photons, dim, splat_footprint(config))
+    lv = splat.splat_all(photons, dim, splat_footprint(config),
+                         method=splat_method(config))
     return state.replace(
         photons=photons, light_volume=lv, light_volume_accum=lv,
         retraced=jnp.zeros(photons.n, bool), n_remaining=jnp.int32(0))
@@ -183,7 +192,8 @@ def progressive_step(scene: Scene, state: PhotonMapState,
         scene_radius=scene.volume.scene_radius())
 
     dim = light_volume_shape(config)
-    lv = splat.splat_all(photons, dim, splat_footprint(config))
+    lv = splat.splat_all(photons, dim, splat_footprint(config),
+                         method=splat_method(config))
     it = iteration.astype(jnp.float32)
     accum = (state.light_volume_accum * it + lv) / (it + 1.0)
     return state.replace(photons=photons, light_volume=lv,
@@ -273,16 +283,19 @@ def correlated_step(scene: Scene, state: PhotonMapState,
     #    full resplat is cheaper (photontolightvolumeprocessorcl.cpp:196).
     dim = light_volume_shape(config)
     fp = splat_footprint(config)
+    method = splat_method(config)
     n_changed = jnp.sum(valid.astype(jnp.int32))
     threshold = jnp.int32(config.splat.incremental_threshold * photons.n)
 
     def _incremental(_):
-        removed = splat.splat_selected(photons, indices, valid, dim, fp)
-        added = splat.splat_selected(merged, indices, valid, dim, fp)
+        removed = splat.splat_selected(photons, indices, valid, dim, fp,
+                                       method=method)
+        added = splat.splat_selected(merged, indices, valid, dim, fp,
+                                     method=method)
         return state.light_volume - removed + added
 
     def _full(_):
-        return splat.splat_all(merged, dim, fp)
+        return splat.splat_all(merged, dim, fp, method=method)
 
     lv = jax.lax.cond(n_changed >= threshold, _full, _incremental, None)
 
@@ -302,11 +315,17 @@ def correlated_step(scene: Scene, state: PhotonMapState,
 def build_importance_grid(scene: Scene, config: PipelineConfig,
                           weights: importance_mod.ImportanceWeights | None = None,
                           prev_minmax: Array | None = None,
-                          volume_diff: Array | None = None) -> UniformGrid3D:
+                          volume_diff: Array | None = None,
+                          screen_space_weight: float = 0.0) -> UniformGrid3D:
     """min/max grid -> TF-classified importance grid
     (VolumeMinMaxCLProcessor + MinMaxUniformGrid3DImportanceCLProcessor,
     SURVEY.md §3.4). With ``prev_minmax``/``volume_diff`` from the previous
-    time step, builds the time-varying importance instead."""
+    time step, builds the time-varying importance instead.
+
+    ``screen_space_weight`` in (0, 1] mixes in the camera-visibility term
+    (the reference's standalone screen-space importance helper,
+    minmaxuniformgrid3dimportancecl.cpp:49-135): cells the camera never
+    crosses are downweighted by (1 - w)."""
     if weights is None:
         weights = importance_mod.ImportanceWeights()
     w = weights.normalized()
@@ -319,6 +338,12 @@ def build_importance_grid(scene: Scene, config: PipelineConfig,
     else:
         imp = importance_mod.classify_importance(
             mm.data, scene.tf.positions, scene.tf.colors, w)
+    if screen_space_weight > 0.0:
+        from cpm_tpu.ops import screen_importance
+        vis = screen_importance.cell_visibility_from_camera(
+            mm, scene.tf, scene.camera)
+        imp = imp * ((1.0 - screen_space_weight)
+                     + screen_space_weight * vis)
     return UniformGrid3D(data=imp, cell_dim=mm.cell_dim,
                          volume_dim=mm.volume_dim)
 

@@ -126,3 +126,83 @@ class TestSplatSelected:
 def test_light_volume_dim():
     assert splat.light_volume_dim(constants.DEFAULT_RADIUS_REL) == 65
     assert splat.light_volume_dim(0.25) == 4
+
+
+class TestProductSplat:
+    """The MXU (separable product-Epanechnikov) splat paths: numpy oracle,
+    XLA/Pallas twin equality, mass parity with the radial scatter path."""
+
+    def _product_oracle(self, pos, pw, valid, r, scale, dim):
+        d, h, w = dim
+        out = np.zeros((d, h, w, 3), np.float64)
+        zc = (np.arange(d) + 0.5) / d
+        yc = (np.arange(h) + 0.5) / h
+        xc = (np.arange(w) + 0.5) / w
+
+        def k(dist):
+            return np.maximum(0.75 * (1.0 - (dist / r) ** 2), 0.0)
+
+        from cpm_tpu.pallas.splat_mxu import PRODUCT_KERNEL_MATCH
+        for i in range(pos.shape[0]):
+            if not valid[i]:
+                continue
+            wz = k(zc - pos[i, 2])[:, None, None]
+            wy = k(yc - pos[i, 1])[None, :, None]
+            wx = k(xc - pos[i, 0])[None, None, :]
+            out += (wz * wy * wx)[..., None] * (
+                pw[i] * scale * PRODUCT_KERNEL_MATCH)
+        return out.astype(np.float32)
+
+    def test_matmul_matches_oracle(self):
+        photons, pos, pow_ = _make_photons(n=48, max_i=2, radius=0.09)
+        dim = (16, 16, 16)
+        ours = np.asarray(splat.splat_all(photons, dim, method="matmul"))
+        scale = float(constants.ISOTROPIC_PHASE
+                      * relative_irradiance_scale(48, photons.radius_rel))
+        flat_pos = pos.reshape(-1, 3)
+        flat_pow = pow_.reshape(-1, 3)
+        valid = flat_pos[:, 0] < 1e30
+        ref = self._product_oracle(flat_pos, flat_pow, valid, 0.09, scale, dim)
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-5)
+
+    def test_pallas_matches_matmul(self):
+        photons, _, _ = _make_photons(n=32, max_i=2, radius=0.09)
+        dim = (16, 16, 16)
+        a = np.asarray(splat.splat_all(photons, dim, method="matmul"))
+        b = np.asarray(splat.splat_all(photons, dim,
+                                       method="pallas_interpret"))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_mass_matches_radial_kernel(self):
+        """The PRODUCT_KERNEL_MATCH factor equalizes deposited energy with
+        the reference's radial kernel (away from borders, fine grids)."""
+        n = 8
+        rng = np.random.default_rng(3)
+        pos = rng.uniform(0.35, 0.65, (1, n, 3)).astype(np.float32)
+        pow_ = np.ones((1, n, 3), np.float32)
+        photons = PhotonData(
+            positions=jnp.asarray(pos), powers=jnp.asarray(pow_),
+            directions=jnp.zeros((1, n, 2), jnp.float32),
+            exit_power=jnp.zeros(n, jnp.float32),
+            exit_direction=jnp.zeros((n, 2), jnp.float32),
+            radius_rel=jnp.float32(0.12),
+            scene_radius=jnp.float32(np.sqrt(3.0)),
+            iteration=jnp.int32(0))
+        dim = (48, 48, 48)
+        radial = np.asarray(splat.splat_all(photons, dim, footprint=14,
+                                            method="scatter"))
+        product = np.asarray(splat.splat_all(photons, dim, method="matmul"))
+        assert radial.sum() == pytest.approx(product.sum(), rel=0.02)
+
+    def test_selected_product_remove_add(self):
+        photons, _, _ = _make_photons(n=32, max_i=2, radius=0.09)
+        dim = (16, 16, 16)
+        idx = jnp.arange(32, dtype=jnp.int32)
+        valid = jnp.ones(32, bool)
+        full = splat.splat_all(photons, dim, method="matmul")
+        sel = splat.splat_selected(photons, idx, valid, dim, method="matmul")
+        np.testing.assert_allclose(np.asarray(sel), np.asarray(full),
+                                   rtol=1e-5, atol=1e-7)
+        neg = splat.splat_selected(photons, idx, valid, dim,
+                                   multiplier=-1.0, method="matmul")
+        np.testing.assert_allclose(np.asarray(full + neg), 0.0, atol=1e-6)
