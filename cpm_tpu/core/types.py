@@ -101,20 +101,24 @@ class TransferFunction:
         """LUT lookup with linear interpolation and edge clamping, matching
         ``read_imagef(tfData, smpNormClampEdgeLinear, (x, 0.5))``.
 
-        Uses per-channel lane gathers (``take_along_axis`` minor-dim fast
-        path) instead of row gathers — ~250x faster on TPU."""
+        Uses one flat minor-dim lane gather per (channel, corner) — the only
+        gather form XLA:TPU lowers without layout padding (a batched
+        ``(2, C, M)`` gather gets a 32x-padded T(8,128) output and OOMs at
+        volume scale)."""
         k, c = self.lut.shape
         xf = jnp.clip(x * k - 0.5, 0.0, k - 1.0)
         i0 = jnp.floor(xf).astype(jnp.int32)
         i1 = jnp.minimum(i0 + 1, k - 1)
-        w = (xf - i0.astype(jnp.float32))[..., None]
-        flat = self.lut.T  # (C, K) channel-major
-        idx = jnp.stack([i0.reshape(-1), i1.reshape(-1)])  # (2, M)
-        v = jnp.take_along_axis(flat[None, :, :],
-                                idx[:, None, :], axis=-1)  # (2, C, M)
-        v0 = jnp.moveaxis(v[0], 0, -1).reshape(x.shape + (c,))
-        v1 = jnp.moveaxis(v[1], 0, -1).reshape(x.shape + (c,))
-        return v0 * (1.0 - w) + v1 * w
+        w = xf - i0.astype(jnp.float32)
+        idx0 = i0.reshape(1, -1)
+        idx1 = i1.reshape(1, -1)
+        chans = []
+        for ci in range(c):
+            tab = self.lut[:, ci][None, :]  # (1, K)
+            v0 = jnp.take_along_axis(tab, idx0, axis=-1).reshape(x.shape)
+            v1 = jnp.take_along_axis(tab, idx1, axis=-1).reshape(x.shape)
+            chans.append(v0 * (1.0 - w) + v1 * w)
+        return jnp.stack(chans, axis=-1)
 
 
 @struct.dataclass

@@ -13,6 +13,19 @@ SAMPLING_BASE_INTERVAL_RCP (transmittance.cl:40), emitted radiance =
 TF color * (irradiance + ambient). The light volume already carries the
 isotropic phase factor and irradiance normalization (splat stage), matching
 what the reference's raycaster receives.
+
+Performance note (measured on v5e): XLA's minor-dim lane gather runs at
+11-46 G lookups/s for *dense top-level batches* at any table size, but the
+very same gather inside a sequential ``lax.fori_loop`` body collapses ~1000x
+(the loop body becomes one fusion and the gather loses its fast emitter).
+:func:`render_rays` therefore materializes ALL (pixel, step) sample
+positions at once (chunked over pixels to bound HBM temporaries, chunks
+Python-unrolled so every gather stays a top-level dense op) and composites
+with a closed-form transmittance from a cumulative sum of optical depth
+along the step axis.  As a bonus the dense form is reverse-differentiable
+(no while_loop), which the sequential marcher was not.
+:func:`render_rays_loop` keeps the original sequential marcher as the
+allclose oracle.
 """
 
 from __future__ import annotations
@@ -53,15 +66,89 @@ def render(volume: Volume, tf: TransferFunction, light_volume: Array,
     return img.reshape(h, w, 4)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "ambient"))
+def _march_chunk(volume: Volume, tf: TransferFunction, light_volume: Array,
+                 o: Array, d: Array, t0: Array, t1: Array, n_steps: int,
+                 dt: float, ambient: float) -> Array:
+    """Dense march of one (C, 3) ray chunk: one big (C, S) sample batch.
+
+    Same math as the sequential marcher: per-step transmittance
+    exp(-sigma*dt) with steps outside [t0, t1] contributing nothing —
+    expressed as tau_i = 0 outside, front-to-back compositing via the
+    exclusive cumsum of tau along the step axis.
+    """
+    sigma_scale = constants.SAMPLING_BASE_INTERVAL_RCP
+    s = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) * dt  # (S,)
+    t = t0[:, None] + s[None, :]  # (C, S)
+    inside = t <= t1[:, None]
+    p = o[:, None, :] + t[..., None] * d[:, None, :]  # (C, S, 3)
+    vol = sample_volume_trilinear(volume.data, p)  # (C, S)
+    color = tf.sample(vol)  # (C, S, 4)
+    light = sample_volume_trilinear_vec(light_volume, p)  # (C, S, 3)
+    tau = jnp.where(inside, color[..., 3] * sigma_scale * dt, 0.0)
+    seg_a = 1.0 - jnp.exp(-tau)  # per-step alpha; 0 outside the span
+    trans = jnp.exp(-(jnp.cumsum(tau, axis=1) - tau))  # exclusive prefix
+    emit = color[..., :3] * (light + ambient)
+    rgb = jnp.sum((trans * seg_a)[..., None] * emit, axis=1)
+    alpha = 1.0 - jnp.exp(-jnp.sum(tau, axis=1))
+    return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "ambient", "chunk"))
 def render_rays(volume: Volume, tf: TransferFunction, light_volume: Array,
                 o: Array, d: Array, n_steps: int,
-                ambient: float = 0.05) -> Array:
-    """Ray-march a flat (P, 3) ray bundle -> (P, 4) RGBA.
+                ambient: float = 0.05, chunk: int | None = None) -> Array:
+    """Ray-march a flat (P, 3) ray bundle -> (P, 4) RGBA, dense-batched.
 
     The shard-level primitive: :func:`render` maps pixels onto it on one
     chip; the parallel layer shard_maps it over a pixel-sharded mesh axis.
+    ``chunk`` bounds the (chunk * n_steps) sample batch materialized per
+    unrolled step (default targets ~2^23 samples, ~700 MB of temporaries).
     """
+    hit, t0, t1 = intersect.ray_box(o, d)
+    t0 = jnp.where(hit, t0, 0.0)
+    t1 = jnp.where(hit, t1, -1.0)
+    dt = (3 ** 0.5) / (n_steps - 1) if n_steps > 1 else 1.0
+
+    npix = o.shape[0]
+    if chunk is None:
+        chunk = max(1024, (1 << 23) // max(n_steps, 1))
+    chunk = min(chunk, npix)
+    n_chunks = -(-npix // chunk)
+    pad = n_chunks * chunk - npix
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t0 = jnp.concatenate([t0, jnp.zeros((pad,), t0.dtype)])
+        t1 = jnp.concatenate([t1, jnp.full((pad,), -1.0, t1.dtype)])
+
+    # Python-unrolled chunk loop: each chunk's gathers stay top-level dense
+    # ops on the XLA fast path (a lax.map/scan would re-fuse them into a
+    # sequential loop body and fall off it). A zero-valued token threads one
+    # chunk's output into the next chunk's input so XLA schedules the chunks
+    # sequentially and reuses their temporaries instead of live-ranging all
+    # of them at once (which OOMs at 256^3/444 steps).
+    outs = []
+    for i in range(n_chunks):
+        o_i = o[i * chunk:(i + 1) * chunk]
+        d_i = d[i * chunk:(i + 1) * chunk]
+        t0_i = t0[i * chunk:(i + 1) * chunk]
+        t1_i = t1[i * chunk:(i + 1) * chunk]
+        if outs:
+            o_i, d_i, t0_i, t1_i, _ = jax.lax.optimization_barrier(
+                (o_i, d_i, t0_i, t1_i, outs[-1]))
+        outs.append(_march_chunk(volume, tf, light_volume,
+                                 o_i, d_i, t0_i, t1_i, n_steps, dt, ambient))
+    img = outs[0] if n_chunks == 1 else jnp.concatenate(outs)
+    return img[:npix]
+
+
+@partial(jax.jit, static_argnames=("n_steps", "ambient"))
+def render_rays_loop(volume: Volume, tf: TransferFunction, light_volume: Array,
+                     o: Array, d: Array, n_steps: int,
+                     ambient: float = 0.05) -> Array:
+    """Sequential-fori_loop marcher (the original formulation): kept as the
+    allclose oracle for :func:`render_rays` — identical math, ~1000x slower
+    on TPU because its in-loop gathers lose the dense fast path."""
     hit, t0, t1 = intersect.ray_box(o, d)
     t0 = jnp.where(hit, t0, 0.0)
     t1 = jnp.where(hit, t1, -1.0)
