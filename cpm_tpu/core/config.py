@@ -35,6 +35,16 @@ class TracerConfig:
     radius_rel: float = constants.DEFAULT_RADIUS_REL
     use_majorant_grid: bool = True  # macrocell empty-space skipping
     majorant_cell_size: int = 8  # voxels per majorant macrocell axis
+    # Voxels per packed-brick axis for the hot-loop volume fetch
+    # (ops/sampling.py:pack_bricks). Measured at 128^3/65k photons: scale 2
+    # (2^18 rows, 72-wide) 79.6 ms/trace vs scale 4 (2^15 rows, 520-wide)
+    # 113 ms — row width traffic beats row-count savings beyond scale 2.
+    # Must be <= majorant_cell_size.
+    brick_scale: int = 2
+    # Staged active-lane compaction (4x shrink per stage); bit-identical
+    # results to the single-stage loop because RNG is keyed by
+    # (lane_id, global step), not buffer position.
+    use_compaction: bool = True
 
 
 @dataclass(frozen=True)

@@ -98,13 +98,34 @@ class TransferFunction:
         return cls(positions=positions, colors=colors, lut=lut)
 
     def sample(self, x: Array) -> Array:
-        """LUT lookup with linear interpolation and edge clamping, matching
-        ``read_imagef(tfData, smpNormClampEdgeLinear, (x, 0.5))``.
+        """Exact piecewise-linear TF evaluation from the point list.
 
-        Uses one flat minor-dim lane gather per (channel, corner) — the only
-        gather form XLA:TPU lowers without layout padding (a batched
-        ``(2, C, M)`` gather gets a 32x-padded T(8,128) output and OOMs at
-        volume scale)."""
+        The reference samples a baked 2D texture
+        (``read_imagef(tfData, smpNormClampEdgeLinear, (x, 0.5))``,
+        photontracer.cl:171-173) because GPUs have texture units; the texture
+        is itself a discretization of this point list. On TPU a table lookup
+        is a gather (~0.11 G lookups/s honest, the round-3 tracer-regression
+        culprit) while P-1 fused segment lerps are pure dense VPU work — so
+        the exact point-list evaluation is both faster AND more accurate
+        here. Outside [positions[0], positions[-1]] the edge color is
+        clamped, matching CLAMP_TO_EDGE. :meth:`sample_lut` keeps the baked
+        form for tests of the reference's texture semantics.
+        """
+        p, c = self.positions, self.colors
+        n_pts = p.shape[0]
+        acc = jnp.broadcast_to(c[0], x.shape + (c.shape[-1],))
+        for s in range(n_pts - 1):
+            t = (x - p[s]) / jnp.maximum(p[s + 1] - p[s], 1e-12)
+            t = jnp.clip(t, 0.0, 1.0)
+            seg = c[s] + (c[s + 1] - c[s]) * t[..., None]
+            acc = jnp.where((x >= p[s])[..., None], seg, acc)
+        return acc
+
+    def sample_lut(self, x: Array) -> Array:
+        """Baked-LUT lookup with linear interpolation and edge clamping (the
+        reference's texture semantics exactly, including its K-bin
+        discretization). One flat minor-dim lane gather per (channel,
+        corner); not for hot paths."""
         k, c = self.lut.shape
         xf = jnp.clip(x * k - 0.5, 0.0, k - 1.0)
         i0 = jnp.floor(xf).astype(jnp.int32)

@@ -19,9 +19,10 @@ into a precomputed (K, K) range-max table; everything is dense vector work.
 Conservativeness:
 - min/max grids are dilated by one full cell (3^3 min/max pooling) so
   trilinear interpolation across cell borders stays inside the bound;
-- LUT indices are padded exactly like ``TransferFunction.sample``'s
-  (floor(x*K - 0.5), +1) pair so the piecewise-linear interpolant over
-  [vmin, vmax] never exceeds the range max.
+- the per-cell range max is computed EXACTLY over the piecewise-linear
+  point-list TF (endpoint values + interior control points), the same
+  function ``TransferFunction.sample`` evaluates in the tracer hot loop —
+  so opacity(v) <= majorant holds exactly for any v in [vmin, vmax].
 """
 
 from __future__ import annotations
@@ -32,7 +33,6 @@ import jax
 import jax.numpy as jnp
 
 from cpm_tpu.core.types import TransferFunction, Volume
-from cpm_tpu.ops.sampling import flat_take
 
 Array = jnp.ndarray
 
@@ -45,6 +45,19 @@ def opacity_range_max_table(lut_opacity: Array) -> Array:
     cols = jnp.arange(k)[None, :]
     masked = jnp.where(cols >= rows, lut_opacity[None, :], -jnp.inf)
     return jax.lax.cummax(masked, axis=1)
+
+
+def opacity_range_max(tf: TransferFunction, lo: Array, hi: Array) -> Array:
+    """Exact max of the piecewise-linear TF opacity over value range
+    [lo, hi] (elementwise over any-shaped lo/hi): the max of a piecewise
+    linear function on an interval is attained at an endpoint or at a
+    control point inside it. Dense VPU math, no table, no gather."""
+    m = jnp.maximum(tf.sample(lo)[..., 3], tf.sample(hi)[..., 3])
+    n_pts = tf.positions.shape[0]
+    for s in range(n_pts):
+        inside = (tf.positions[s] >= lo) & (tf.positions[s] <= hi)
+        m = jnp.where(inside, jnp.maximum(m, tf.colors[s, 3]), m)
+    return m
 
 
 def dilate_min_max(mins: Array, maxs: Array) -> tuple[Array, Array]:
@@ -69,15 +82,7 @@ def build_majorant_grid(volume: Volume, tf: TransferFunction,
 
     mm = minmax_mod.volume_min_max(volume, cell_size)
     mins, maxs = dilate_min_max(mm.data[..., 0], mm.data[..., 1])
-
-    k = tf.lut.shape[0]
-    table = opacity_range_max_table(tf.lut[:, 3])
-    lo = jnp.floor(jnp.clip(mins * k - 0.5, 0.0, k - 1.0)).astype(jnp.int32)
-    hi = jnp.minimum(
-        jnp.floor(jnp.clip(maxs * k - 0.5, 0.0, k - 1.0)).astype(jnp.int32) + 1,
-        k - 1)
-    maj = flat_take(table.reshape(-1), lo * k + hi)
-    return jnp.maximum(maj, 0.0)
+    return jnp.maximum(opacity_range_max(tf, mins, maxs), 0.0)
 
 
 def cell_exit_distance(origin: Array, direction: Array, cell: Array,

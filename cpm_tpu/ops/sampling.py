@@ -17,27 +17,34 @@ Array = jnp.ndarray
 
 
 def flat_take(table: Array, idx: Array) -> Array:
-    """Gather ``table[idx]`` from a flat (V,) table via the TPU lane-gather
-    fast path.
+    """Gather ``table[idx]`` from a flat (V,) table.
 
-    XLA TPU lowers ``take_along_axis`` along the minor dimension to a fast
-    VMEM lane gather (~3.6 G lookups/s measured on v5e for a 1 MB table),
-    whereas a plain ``jnp.take``/``x[idx]`` gather runs ~110 M lookups/s.
-    Every hot sampler in the pipeline goes through this helper.
+    Honest v5e numbers (round 4, per-rep host-readback sync, in-jit chained):
+    plain ``table[idx]`` = 0.117 G lookups/s; ``take_along_axis`` on the
+    minor dim = 0.036 G lookups/s (round 3's "11-46 G" figure was a
+    benchmark-sync artifact). Plain indexing is the fastest XLA gather form;
+    the cost is per INDEX, nearly independent of row width — which is why
+    the hot paths prefer one packed row-gather (:func:`pack_corners` +
+    :func:`sample_volume_trilinear_packed`) over 8 scalar gathers.
     """
-    out = jnp.take_along_axis(table[None, :], idx.reshape(1, -1), axis=-1)
-    return out.reshape(idx.shape)
+    return table[idx]
 
 
 def _corner_indices(shape_zyx, pos: Array):
-    """Shared trilinear setup: clamped corner coords + fractional weights."""
+    """Shared trilinear setup: clamped corner coords + fractional weights.
+
+    The continuous voxel coordinate is clamped to [0, dim-1] BEFORE the
+    floor/frac split — true CLAMP_TO_EDGE: within half a voxel of a face
+    the edge texel dominates and exactly at/beyond it the edge texel is
+    returned, matching the reference's ``getNormalizedVoxel`` sampler
+    (Inviwo samplers.cl; clamping after the split leaks the neighbor texel
+    in with weight up to 1)."""
     d, h, w = shape_zyx
     dims = jnp.array([w, h, d], jnp.float32)
-    cf = pos * dims - 0.5
+    cf = jnp.clip(pos * dims - 0.5, 0.0, dims - 1.0)
     c0f = jnp.floor(cf)
     frac = cf - c0f
-    c0 = jnp.clip(c0f.astype(jnp.int32), 0,
-                  jnp.array([w - 1, h - 1, d - 1], jnp.int32))
+    c0 = c0f.astype(jnp.int32)
     c1 = jnp.minimum(c0 + 1, jnp.array([w - 1, h - 1, d - 1], jnp.int32))
     return c0, c1, frac
 
@@ -89,6 +96,163 @@ def sample_volume_trilinear_vec(data: Array, pos: Array) -> Array:
                 v = jnp.moveaxis(v, 0, -1).reshape(pos.shape[:-1] + (c,))
                 acc = acc + v * (wx * wy * wz)[..., None]
     return acc
+
+
+def pack_corners(data: Array) -> Array:
+    """Repack a (D, H, W) volume into (D*H*W, 8) rows where row (z*H+y)*W+x
+    holds the 2x2x2 cell corners data[z+dz, y+dy, x+dx] (edge-clamped),
+    k = dz*4 + dy*2 + dx.
+
+    TPU gather cost is per INDEX (measured: 65-97 M rows/s for widths
+    1..128), so fetching all 8 trilinear corners as ONE row-gather is ~5x
+    cheaper than 8 flat gathers. 8x memory (e.g. 67 MB for 128^3) buys the
+    tracer hot loop its volume fetch at row-gather speed.
+    """
+    d, h, w = data.shape
+    parts = []
+    for dz in (0, 1):
+        zsl = jnp.concatenate([data[dz:], data[-1:]] if dz else [data], 0)[:d]
+        for dy in (0, 1):
+            ysl = jnp.concatenate([zsl[:, dy:], zsl[:, -1:]] if dy
+                                  else [zsl], 1)[:, :h]
+            for dx in (0, 1):
+                xsl = jnp.concatenate([ysl[:, :, dx:], ysl[:, :, -1:]] if dx
+                                      else [ysl], 2)[:, :, :w]
+                parts.append(xsl.reshape(-1))
+    return jnp.stack(parts, axis=-1)
+
+
+def corner_row_index(shape_zyx, pos: Array):
+    """(row index into a pack_corners table, fractional weights) for ``pos``."""
+    d, h, w = shape_zyx
+    c0, _, frac = _corner_indices((d, h, w), pos)
+    return (c0[..., 2] * h + c0[..., 1]) * w + c0[..., 0], frac
+
+
+def trilinear_weights(frac: Array) -> Array:
+    """(..., 8) corner weights in k = dz*4 + dy*2 + dx order."""
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    wx = jnp.stack([1.0 - fx, fx], -1)  # (..., 2)
+    wy = jnp.stack([1.0 - fy, fy], -1)
+    wz = jnp.stack([1.0 - fz, fz], -1)
+    return (wz[..., :, None, None] * wy[..., None, :, None]
+            * wx[..., None, None, :]).reshape(frac.shape[:-1] + (8,))
+
+
+def sample_volume_trilinear_packed(packed: Array, shape_zyx, pos: Array) -> Array:
+    """Trilinear fetch via ONE (N, 8) row-gather from :func:`pack_corners`
+    output; same semantics as :func:`sample_volume_trilinear`. Extra columns
+    beyond the first 8 (e.g. a fused per-voxel majorant) are ignored.
+
+    Corner-k weight = prod over axes of (f or 1-f); the high-edge clamp is
+    consistent because pack_corners edge-clamps its +1 neighbors."""
+    idx, frac = corner_row_index(shape_zyx, pos)
+    rows = packed[idx]  # (..., >=8)
+    return jnp.sum(rows[..., :8] * trilinear_weights(frac), axis=-1)
+
+
+def brick_slots(scale: int) -> int:
+    """Corner slots per brick row at ``scale`` voxels per brick axis."""
+    return 8 * scale ** 3
+
+
+def brick_width(scale: int) -> int:
+    """Row width: corner slots + majorant column, padded to a multiple of 8."""
+    return ((brick_slots(scale) + 1 + 7) // 8) * 8
+
+
+def pack_bricks(data: Array, extra: Array | None = None,
+                scale: int = 2) -> Array:
+    """Repack a (D, H, W) volume into 1/scale-resolution brick rows covering
+    every trilinear stencil inside a scale^3-voxel brick with ONE row fetch.
+
+    Row (hz*H2 + hy)*W2 + hx holds 8*scale^3 corner slots: 8 groups (one
+    per (sa, sb, sc) neighbor-brick shift in {0,1}^3, group-major z,y,x) of
+    the shifted brick's own scale^3 voxels (local-major z,y,x) — i.e. slot
+    (sa,sb,sc,la,lb,lc) = data[scale*(hz+sa)+la, ...] (edge-clamped).
+    :func:`brick_weights` produces matching 2*scale-tap tent weights per
+    axis (tap t = scale*s + l). Column ``brick_slots(scale)`` carries
+    ``extra`` (e.g. the local macrocell majorant) at the brick's base voxel;
+    rows are padded to :func:`brick_width`.
+
+    Why this shape (all numbers honest v5e, round 4):
+    - gather throughput scales with table ROW COUNT, not bytes: 2^18 rows
+      at w=8 -> 143 M rows/s, 2^21 rows -> 74 M rows/s, small tables
+      (<=2^16 rows) -> ~165 M rows/s; scale=4 puts a 128^3 volume at 2^15
+      rows;
+    - the build avoids minor-axis strided slicing (27 stride-2 grabs cost
+      ~93 ms at 128^3) — one free 6D block reshape plus contiguous
+      brick-axis shifts and an 8-chunk concat.
+    """
+    d, h, w = data.shape
+    k = scale
+    d2, h2, w2 = -(-d // k), -(-h // k), -(-w // k)
+    v = jnp.pad(data, ((0, k * d2 - d), (0, k * h2 - h), (0, k * w2 - w)),
+                mode="edge")
+    blk = v.reshape(d2, k, h2, k, w2, k).transpose(0, 2, 4, 1, 3, 5)
+
+    def shift(b, brick_axis, local_axis):
+        # +1 brick with edge clamp: the out-of-range brick replicates the
+        # last brick's last local plane into every local slot.
+        sl = [slice(None)] * 6
+        sl[brick_axis] = slice(1, None)
+        main = b[tuple(sl)]
+        last = [slice(None)] * 6
+        last[brick_axis] = slice(-1, None)
+        edge = jnp.take(b[tuple(last)], jnp.full(k, k - 1), axis=local_axis)
+        return jnp.concatenate([main, edge], axis=brick_axis)
+
+    groups = []
+    for sa in (0, 1):
+        ba = shift(blk, 0, 3) if sa else blk
+        for sb in (0, 1):
+            bb = shift(ba, 1, 4) if sb else ba
+            for sc in (0, 1):
+                bc = shift(bb, 2, 5) if sc else bb
+                groups.append(bc.reshape(d2, h2, w2, k ** 3))
+    if extra is not None:
+        xtr = extra[::k, ::k, ::k][:d2, :h2, :w2, None]
+    else:
+        xtr = jnp.zeros((d2, h2, w2, 1), data.dtype)
+    pad = jnp.zeros((d2, h2, w2, brick_width(k) - brick_slots(k) - 1),
+                    data.dtype)
+    return jnp.concatenate(groups + [xtr, pad], axis=-1).reshape(
+        d2 * h2 * w2, brick_width(k))
+
+
+def brick_row_index(shape_zyx, pos: Array, scale: int = 2):
+    """(brick row index, (..., 3) local coords in [0, scale]) for ``pos``.
+
+    Coordinates are clamped to [0, dim-1] voxel space first (CLAMP_TO_EDGE);
+    inside the volume this matches :func:`sample_volume_trilinear` exactly.
+    """
+    d, h, w = shape_zyx
+    dims = jnp.array([w, h, d], jnp.float32)
+    cf = jnp.clip(pos * dims - 0.5, 0.0, dims - 1.0)
+    br = jnp.floor(cf).astype(jnp.int32) // scale
+    local = cf - float(scale) * br.astype(jnp.float32)
+    h2, w2 = -(-h // scale), -(-w // scale)
+    idx = (br[..., 2] * h2 + br[..., 1]) * w2 + br[..., 0]
+    return idx, local
+
+
+def brick_weights(local: Array, scale: int = 2) -> Array:
+    """(..., 8*scale^3) trilinear weights matching :func:`pack_bricks` slot
+    order (sa, sb, sc, la, lb, lc); per axis a 2*scale-tap tent over
+    t = scale*s + l (at most two taps are nonzero)."""
+    k = scale
+    taps = jnp.arange(2 * k, dtype=jnp.float32)
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(local[..., 2:3] - taps))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(local[..., 1:2] - taps))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(local[..., 0:1] - taps))
+    lead = local.shape[:-1]
+    wz = wz.reshape(lead + (2, k))  # [s, l]
+    wy = wy.reshape(lead + (2, k))
+    wx = wx.reshape(lead + (2, k))
+    out = (wz[..., :, None, None, :, None, None]
+           * wy[..., None, :, None, None, :, None]
+           * wx[..., None, None, :, None, None, :])
+    return out.reshape(lead + (8 * k ** 3,))
 
 
 def stratified_grid_2d(nx: int, ny: int, key=None) -> Array:

@@ -58,7 +58,8 @@ from cpm_tpu.core.types import (LightSamples, PhotonData, TransferFunction,
                                 Volume, encode_direction)
 from cpm_tpu.ops import intersect, majorant as majorant_mod, rng
 from cpm_tpu.ops import phase as phase_mod
-from cpm_tpu.ops.sampling import flat_take, sample_volume_trilinear
+from cpm_tpu.ops.sampling import (brick_row_index, brick_slots,
+                                  brick_weights, pack_bricks)
 
 Array = jnp.ndarray
 
@@ -67,34 +68,72 @@ Array = jnp.ndarray
 _BOUNDARY_EPS = 1e-5
 
 
+_HISTORY = 512  # active-count history slots when return_stats is on
+
+
 class _TraceState(NamedTuple):
-    step: Array  # () int32 wavefront iteration
-    pos: Array  # (N, 3) current segment origin
-    dir: Array  # (N, 3)
-    t: Array  # (N,) parametric position along current segment
-    t_end: Array  # (N,)
-    power: Array  # (N, 3)
-    n_int: Array  # (N,) int32 interactions deposited
-    active: Array  # (N,) bool
-    absorbed: Array  # (N,) bool
-    first_done: Array  # (N,) bool — pre-scatter done (no_single_scattering)
-    out_pos: Array  # (I, N, 3)
-    out_pow: Array  # (I, N, 3)
-    out_dir: Array  # (I, N, 2)
+    """Per-lane wavefront state at the current stage width w <= N.
+
+    Deposits are LANE-major (w, I, ...) inside the loop so that staged
+    compaction can gather/scatter whole per-lane rows at per-index gather
+    cost; the public PhotonData layout (I, N, ...) is restored at the end.
+    """
+
+    step: Array  # () int32 GLOBAL wavefront iteration (across stages)
+    active_work: Array  # () float32, sum over iterations of active lanes
+    active_hist: Array  # (_HISTORY,) int32 active count per iteration
+    pos: Array  # (w, 3) current segment origin
+    dir: Array  # (w, 3)
+    t: Array  # (w,) parametric position along current segment
+    t_end: Array  # (w,)
+    power: Array  # (w, 3)
+    n_int: Array  # (w,) int32 interactions deposited
+    active: Array  # (w,) bool
+    absorbed: Array  # (w,) bool
+    first_done: Array  # (w,) bool — pre-scatter done (no_single_scattering)
+    maj_carry: Array  # (w,) local majorant for the lane's current cell
+    slots: Array  # (w,) int32 output row (original position in [0, N))
+    lane_ids: Array  # (w,) int32 RNG stream id (global photon id)
+    out_pos: Array  # (w, I, 3)
+    out_pow: Array  # (w, I, 3)
+    out_dir: Array  # (w, I, 2)
 
 
-@partial(jax.jit, static_argnames=("config",))
+def _stage_widths(n: int, enabled: bool, min_width: int = 2048):
+    """Static compaction schedule: shrink 4x whenever the active count fits.
+
+    Measured round 4 (128^3 smoke, 65k photons, 4 interactions): actives
+    decay 100% -> 25% by iteration ~24, -> 6% by ~33, with a tail to ~84;
+    mean occupancy 22%. Three 4x stages cut total gather work ~3x. The
+    result is bit-identical to the uncompacted loop because RNG draws are
+    keyed by (lane_id, global step), not by buffer position.
+    """
+    widths = [n]
+    if enabled:
+        w = n // 4
+        while w >= min_width and len(widths) < 4:
+            widths.append(w)
+            w //= 4
+    return widths
+
+
+@partial(jax.jit, static_argnames=("config", "return_stats"))
 def trace_photons(volume: Volume, tf: TransferFunction,
                   tf_scattering: TransferFunction,
                   light_samples: LightSamples, base_key: Array,
                   config: TracerConfig,
-                  lane_ids: Array | None = None) -> PhotonData:
+                  lane_ids: Array | None = None,
+                  return_stats: bool = False) -> PhotonData:
     """Trace all light samples; returns a fresh PhotonData (radius fields
     default-initialized — the pipeline layer owns the progressive state).
 
     ``lane_ids`` are global photon ids for RNG stream derivation; default
     arange(N). When retracing a selected subset, pass the original ids so
     each photon keeps its RNG stream.
+
+    With ``return_stats`` the return becomes (photons, stats) where stats
+    holds the wavefront iteration count and the mean active-lane fraction —
+    the utilization diagnostics behind compaction decisions.
     """
     n = light_samples.n
     max_i = config.max_interactions
@@ -109,9 +148,27 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         maj = jnp.full((1, 1, 1), jnp.float32(1.0))
     gz, gy, gx = maj.shape
     gdim = jnp.array([gx, gy, gz], jnp.float32)
-    maj_flat = maj.reshape(-1) * jnp.float32(config.tau_max)
+    maj = maj * jnp.float32(config.tau_max)
+    maj_global = jnp.max(maj)
 
     sbi = jnp.float32(constants.SAMPLING_BASE_INTERVAL_RCP)
+    # ONE row-gather per wavefront iteration: TPU gather throughput is per
+    # index and scales with table ROW COUNT (utils/benchmark.py protocol,
+    # round 4: 2^18 rows -> 143 M rows/s vs 2^21 rows -> 74 M rows/s), so
+    # the volume is packed as HALF-RESOLUTION bricks of 27 corners plus the
+    # local macrocell majorant in column 27 — any trilinear stencil inside
+    # the brick plus next iteration's majorant ride one fetch.
+    vol_shape = volume.data.shape
+    d_, h_, w_ = vol_shape
+    reps = [-(-s // g) for s, g in ((d_, gz), (h_, gy), (w_, gx))]
+    maj_vox = jnp.repeat(jnp.repeat(jnp.repeat(
+        maj, reps[0], 0), reps[1], 1), reps[2], 2)[:d_, :h_, :w_]
+    scale = config.brick_scale
+    assert config.majorant_cell_size >= scale, (
+        "majorant dilation (+-1 cell) must cover the brick base-voxel "
+        "quantization (brick_scale voxels)")
+    packed = pack_bricks(volume.data, maj_vox, scale=scale)
+    n_slots = brick_slots(scale)
     dim_max = max(volume.data.shape)
     step_size = jnp.float32(1.0 / (config.sampling_rate * dim_max))
     big = jnp.float32(constants.FLT_MAX)
@@ -122,6 +179,8 @@ def trace_photons(volume: Volume, tf: TransferFunction,
 
     init = _TraceState(
         step=jnp.int32(0),
+        active_work=jnp.float32(0.0),
+        active_hist=jnp.zeros(_HISTORY, jnp.int32),
         pos=light_samples.origins,
         dir=light_samples.directions,
         t=t0,
@@ -131,24 +190,27 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         active=t0 < t1,
         absorbed=jnp.zeros(n, bool),
         first_done=jnp.full(n, not config.no_single_scattering),
-        out_pos=jnp.full((max_i, n, 3), big),
-        out_pow=jnp.zeros((max_i, n, 3), jnp.float32),
-        out_dir=jnp.zeros((max_i, n, 2), jnp.float32),
+        maj_carry=jnp.full((n,), maj_global),
+        slots=jnp.arange(n, dtype=jnp.int32),
+        lane_ids=lane_ids,
+        out_pos=jnp.full((n, max_i, 3), big),
+        out_pow=jnp.zeros((n, max_i, 3), jnp.float32),
+        out_dir=jnp.zeros((n, max_i, 2), jnp.float32),
     )
 
-    row_ids = jnp.arange(max_i, dtype=jnp.int32)[:, None]  # (I, 1)
-
-    def cond(s: _TraceState):
-        return jnp.logical_and(jnp.any(s.active), s.step < config.max_steps)
+    col_ids = jnp.arange(max_i, dtype=jnp.int32)[None, :]  # (1, I)
 
     def body(s: _TraceState) -> _TraceState:
-        u = rng.uniforms(key0, key1, lane_ids, s.step, 5)
+        u = rng.uniforms(key0, key1, s.lane_ids, s.step, 5)
         # --- macrocell delta-tracking step ---
+        # The local majorant comes from maj_carry: the 9th column of the
+        # previous iteration's row fetch. The flight segment below is
+        # clamped to the current cell, whose (dilated, hence conservative
+        # for the <=1-voxel row-quantization) majorant that is.
         p_cur = s.pos + s.t[:, None] * s.dir
         cell = jnp.clip(jnp.floor(p_cur * gdim), 0.0, gdim - 1.0
                         ).astype(jnp.int32)
-        cidx = (cell[:, 2] * gy + cell[:, 1]) * gx + cell[:, 0]
-        maj_op = flat_take(maj_flat, cidx)  # local majorant (opacity units)
+        maj_op = s.maj_carry
         t_cell = majorant_mod.cell_exit_distance(s.pos, s.dir, cell, gdim)
         t_cell = jnp.maximum(t_cell, s.t)
 
@@ -162,7 +224,11 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         exited = t_new > s.t_end
 
         p = s.pos + t_new[:, None] * s.dir
-        vol_sample = sample_volume_trilinear(volume.data, p)
+        idx, local = brick_row_index(vol_shape, p, scale)
+        rows = packed[idx]  # (w, brick_width): corner slots + majorant
+        vol_sample = jnp.sum(
+            rows[:, :n_slots] * brick_weights(local, scale), axis=-1)
+        maj_at_p = rows[:, n_slots]
         color = tf.sample(vol_sample)  # (N, 4)
         opacity = color[:, 3]
         # Acceptance against the LOCAL majorant: P = sigma(x) / sigma_maj.
@@ -188,12 +254,12 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         power_scat = power_in * albedo[:, None]
         stored_power = jnp.where(do_scatter[:, None], power_scat, power_in)
 
-        # Deposit photon at slot (n_int, lane) via a one-hot row mask;
+        # Deposit photon at slot (lane, n_int) via a one-hot column mask;
         # I is small (<=16) so this is cheap dense VPU work.
-        slot = (row_ids == s.n_int[None, :]) & interact[None, :]  # (I, N)
-        out_pos = jnp.where(slot[..., None], p[None, :, :], s.out_pos)
-        out_pow = jnp.where(slot[..., None], stored_power[None, :, :], s.out_pow)
-        out_dir = jnp.where(slot[..., None], dir_angles[None, :, :], s.out_dir)
+        slot = (col_ids == s.n_int[:, None]) & interact[:, None]  # (w, I)
+        out_pos = jnp.where(slot[..., None], p[:, None, :], s.out_pos)
+        out_pow = jnp.where(slot[..., None], stored_power[:, None, :], s.out_pow)
+        out_dir = jnp.where(slot[..., None], dir_angles[:, None, :], s.out_dir)
 
         # --- new direction for scattered photons ---
         new_dir, pdf = phase_mod.sample_phase(
@@ -217,8 +283,12 @@ def trace_photons(volume: Volume, tf: TransferFunction,
                                 jnp.full((1, 3), big)),
                       s.power))
 
+        n_active = jnp.sum(s.active.astype(jnp.int32))
         return _TraceState(
             step=s.step + 1,
+            active_work=s.active_work + n_active.astype(jnp.float32),
+            active_hist=s.active_hist.at[
+                jnp.minimum(s.step, _HISTORY - 1)].add(n_active),
             pos=pos_next,
             dir=dir_next,
             t=t_next,
@@ -228,25 +298,93 @@ def trace_photons(volume: Volume, tf: TransferFunction,
             active=still_active,
             absorbed=s.absorbed | do_absorb,
             first_done=s.first_done | first_event,
+            # After a direction change the next segment start (interaction
+            # point nudged along the NEW direction) may sit in a different
+            # cell than p — fall back to the global majorant for one
+            # iteration; everywhere else the next p_cur equals p exactly.
+            maj_carry=jnp.where(change_dir, maj_global, maj_at_p),
+            slots=s.slots,
+            lane_ids=s.lane_ids,
             out_pos=out_pos,
             out_pow=out_pow,
             out_dir=out_dir,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    # --- staged wavefront with active-lane compaction ---
+    # Each stage runs while more than `threshold` lanes are active, then all
+    # per-lane rows are flushed to the full-width result buffers and the
+    # (guaranteed <= threshold) active lanes are compacted into a 4x
+    # narrower stage. Gather/scatter cost at the transitions is per-row
+    # (pack_corners measurement), tiny against the per-iteration saving.
+    res = dict(
+        pos=jnp.full((n, max_i, 3), big),
+        pow=jnp.zeros((n, max_i, 3), jnp.float32),
+        dirs=jnp.zeros((n, max_i, 2), jnp.float32),
+        fdir=light_samples.directions,
+        fpow=power0,
+        absorbed=jnp.zeros(n, bool),
+    )
 
-    exit_power = jnp.where(final.absorbed, big, final.power[:, 0])
-    exit_dir = encode_direction(final.dir)
-    return PhotonData(
-        positions=final.out_pos,
-        powers=final.out_pow,
-        directions=final.out_dir,
+    def flush(res, s: _TraceState):
+        return dict(
+            pos=res["pos"].at[s.slots].set(s.out_pos),
+            pow=res["pow"].at[s.slots].set(s.out_pow),
+            dirs=res["dirs"].at[s.slots].set(s.out_dir),
+            fdir=res["fdir"].at[s.slots].set(s.dir),
+            fpow=res["fpow"].at[s.slots].set(s.power),
+            absorbed=res["absorbed"].at[s.slots].set(s.absorbed),
+        )
+
+    def narrow(s: _TraceState, w: int) -> _TraceState:
+        keep = jnp.argsort(jnp.logical_not(s.active), stable=True)[:w]
+        take = lambda a: a[keep]
+        return s._replace(
+            pos=take(s.pos), dir=take(s.dir), t=take(s.t),
+            t_end=take(s.t_end), power=take(s.power), n_int=take(s.n_int),
+            active=take(s.active), absorbed=take(s.absorbed),
+            first_done=take(s.first_done), maj_carry=take(s.maj_carry),
+            slots=take(s.slots),
+            lane_ids=take(s.lane_ids), out_pos=take(s.out_pos),
+            out_pow=take(s.out_pow), out_dir=take(s.out_dir))
+
+    widths = _stage_widths(n, config.use_compaction)
+    state = init
+    for si, w in enumerate(widths):
+        threshold = widths[si + 1] if si + 1 < len(widths) else 0
+
+        def cond(s: _TraceState, threshold=threshold):
+            alive = jnp.any(s.active) & (s.step < config.max_steps)
+            if threshold:
+                alive &= jnp.sum(s.active.astype(jnp.int32)) > threshold
+            return alive
+
+        state = jax.lax.while_loop(cond, body, state)
+        res = flush(res, state)
+        if threshold:
+            state = narrow(state, threshold)
+
+    exit_power = jnp.where(res["absorbed"], big, res["fpow"][:, 0])
+    exit_dir = encode_direction(res["fdir"])
+    photons = PhotonData(
+        positions=jnp.moveaxis(res["pos"], 0, 1),
+        powers=jnp.moveaxis(res["pow"], 0, 1),
+        directions=jnp.moveaxis(res["dirs"], 0, 1),
         exit_power=exit_power,
         exit_direction=exit_dir,
         radius_rel=jnp.float32(config.radius_rel),
         scene_radius=jnp.float32(constants.DEFAULT_SCENE_RADIUS),
         iteration=jnp.int32(0),
     )
+    if return_stats:
+        stats = {
+            "wavefront_iters": state.step,
+            "mean_active_frac": state.active_work / (
+                jnp.maximum(state.step, 1).astype(jnp.float32) * n),
+            "active_history": state.active_hist,
+            "stage_widths": widths,
+        }
+        return photons, stats
+    return photons
 
 
 def merge_recomputed(photons: PhotonData, new: PhotonData,

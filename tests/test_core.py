@@ -29,8 +29,32 @@ def test_tf_sample_clamps_edges():
     tf = TransferFunction.from_points([0.0, 1.0], [(0, 0, 0, 0), (1, 1, 1, 1)])
     lo = tf.sample(jnp.array([-0.5]))
     hi = tf.sample(jnp.array([1.5]))
-    assert float(lo[0, 3]) == pytest.approx(float(tf.lut[0, 3]))
-    assert float(hi[0, 3]) == pytest.approx(float(tf.lut[-1, 3]))
+    # Exact point-list evaluation clamps to the edge control colors.
+    assert float(lo[0, 3]) == pytest.approx(0.0)
+    assert float(hi[0, 3]) == pytest.approx(1.0)
+    # The baked-LUT path clamps to its edge texels (reference texture
+    # semantics: first/last texel centers at +-0.5/K).
+    assert float(tf.sample_lut(jnp.array([-0.5]))[0, 3]) == pytest.approx(
+        float(tf.lut[0, 3]))
+    assert float(tf.sample_lut(jnp.array([1.5]))[0, 3]) == pytest.approx(
+        float(tf.lut[-1, 3]))
+
+
+def test_tf_sample_matches_lut_discretization():
+    """sample() (exact points) and sample_lut() (baked) agree to LUT
+    resolution everywhere."""
+    tf = TransferFunction.from_points(*_ramp_points(), lut_size=1024)
+    x = jnp.linspace(0.0, 1.0, 777)
+    a = np.asarray(tf.sample(x))
+    b = np.asarray(tf.sample_lut(x))
+    # max LUT bake error ~ max_slope/(2*lut_size) = 9/2048 here
+    np.testing.assert_allclose(a, b, atol=6e-3)
+
+
+def _ramp_points():
+    return ([0.0, 0.1, 0.5, 1.0],
+            [(0, 0, 0, 0), (0.2, 0.3, 0.9, 0.02),
+             (0.9, 0.6, 0.2, 0.3), (1, 1, 1, 0.8)])
 
 
 def test_direction_encode_roundtrip():
