@@ -1,39 +1,43 @@
-"""Headline benchmark: photon tracing + splat throughput on one chip.
+"""Headline benchmark: per-stage photon-mapping throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
+"metrics" dict of keyed per-stage numbers and a "stages" per-stage ms
+breakdown — the analog of the reference's IVW_DETAILED_PROFILING cl::Event
+stage prints (progressivephotontracercl.cpp:562-598).
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against the BASELINE.json north-star proxy: the default interactive workload
-(65 536 photons, the reference's photondata.h:145 default) traced through a
-128^3 volume with up to 4 scattering events and splatted into the light
-volume. Value = million photon-scatter-events per second sustained over the
-full emit->trace->splat step.
+All timings use the honest protocol in cpm_tpu/utils/benchmark.py: a timed
+rep only ends when a host readback of a scalar derived from the output
+completes (jax.block_until_ready is NOT sufficient on the axon tunnel
+backend), and inputs vary per rep so the executor cannot deduplicate
+dispatches.
+
+Default config = the reference's interactive workload: 65 536 photons
+(photondata.h:145), 128^3 volume, up to 4 scattering events, 512^2 camera.
+``--large`` runs the BASELINE config-5 scale proof: 4M photons / 256^3.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def build(vol_dim: int, photons_xy: tuple[int, int], max_i: int,
+          width: int = 512):
     from cpm_tpu.core.camera import Camera
-    from cpm_tpu.core.config import PipelineConfig, RenderConfig, TracerConfig
+    from cpm_tpu.core.config import (PipelineConfig, RecomputeConfig,
+                                     RenderConfig, TracerConfig)
     from cpm_tpu.core.lights import Light
     from cpm_tpu.core.scene import Scene
     from cpm_tpu.core.types import TransferFunction, Volume
     from cpm_tpu.io import synthetic
-    from cpm_tpu.pipeline import step as pstep
 
-    print(f"backend={jax.default_backend()} devices={jax.devices()}",
-          file=sys.stderr)
-
-    vol_dim = 128
-    max_i = 4
     volume = Volume.from_data(synthetic.smoke_cloud(vol_dim, seed=3))
     tf = TransferFunction.from_points(*synthetic.default_tf_points())
     tfs = TransferFunction.from_points(*synthetic.default_scattering_points())
@@ -41,37 +45,129 @@ def main():
                          [Light.directional((0.0, -1.0, 0.3))],
                          Camera.create())
     config = PipelineConfig(
-        photons_x=256, photons_y=256,
+        photons_x=photons_xy[0], photons_y=photons_xy[1],
         tracer=TracerConfig(max_interactions=max_i, max_steps=6000),
-        render=RenderConfig(width=512, height=512))
+        recompute=RecomputeConfig(max_photons_fraction=0.1),
+        render=RenderConfig(width=width, height=width))
+    return scene, config
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--large", action="store_true",
+                    help="BASELINE config-5 scale: 4M photons / 256^3")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    from cpm_tpu.core.camera import Camera
+    from cpm_tpu.ops import splat as splat_mod
+    from cpm_tpu.ops import sweep_render
+    from cpm_tpu.ops import tracer as tracer_mod
+    from cpm_tpu.pipeline import step as pstep
+    from cpm_tpu.utils.benchmark import timeit
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          file=sys.stderr)
+
+    if args.large:
+        scene, config = build(256, (2048, 2048), 4, width=1024)
+    else:
+        scene, config = build(128, (256, 256), 4, width=512)
+    reps = args.reps
 
     state = pstep.init_state(scene, config)
     n_photons = state.photons.n
+    stages: dict[str, dict] = {}
+    metrics: dict[str, float] = {}
 
-    # Warmup / compile.
+    def record(name, res, n_items=None, unit_scale=1e6):
+        stages[name] = {"ms": round(res.mean_ms, 2)}
+        if n_items is not None:
+            stages[name]["mitems_s"] = round(n_items / res.mean_s / unit_scale, 3)
+
+    # --- full step: emit + trace + splat ---
     t0 = time.perf_counter()
     out = pstep.full_trace_step(scene, state, config)
-    jax.block_until_ready(out.light_volume)
-    compile_s = time.perf_counter() - t0
-    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
-
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = pstep.full_trace_step(scene, state, config)
-    jax.block_until_ready(out.light_volume)
-    dt = (time.perf_counter() - t0) / reps
-
-    mphotons_s = n_photons / dt / 1e6
-    print(f"trace+splat: {dt*1e3:.1f} ms/frame, {mphotons_s:.2f} Mphotons/s",
+    from cpm_tpu.utils.benchmark import readback
+    readback(out.light_volume)
+    print(f"full_step compile+first: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
+    states = [state.replace(key=jax.random.fold_in(state.key, i))
+              for i in range(4)]
+    res = timeit(lambda s: pstep.full_trace_step(scene, s, config).light_volume,
+                 lambda i: (states[i % 4],), reps=reps, warmup=1)
+    record("trace_splat", res, n_photons)
+    metrics["trace_splat_mphotons_s"] = round(n_photons / res.mean_s / 1e6, 3)
+    metrics["trace_splat_ms"] = round(res.mean_ms, 2)
 
+    # --- trace only ---
+    keys = [jax.random.fold_in(state.key, 100 + i) for i in range(4)]
+    res = timeit(
+        lambda k: tracer_mod.trace_photons(
+            scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
+            k, config.tracer).positions,
+        lambda i: (keys[i % 4],), reps=reps, warmup=1)
+    record("trace", res, n_photons)
+    metrics["trace_mphotons_s"] = round(n_photons / res.mean_s / 1e6, 3)
+
+    # --- splat only ---
+    photons = out.photons
+    dim = pstep.light_volume_shape(config)
+    ph_variants = [photons.replace(powers=photons.powers * (1.0 + 0.01 * i))
+                   for i in range(4)]
+    res = timeit(
+        lambda p: splat_mod.splat_all(p, dim, pstep.splat_footprint(config),
+                                      method=pstep.splat_method(config)),
+        lambda i: (ph_variants[i % 4],), reps=reps, warmup=1)
+    record("splat", res, n_photons)
+    metrics["splat_ms"] = round(res.mean_ms, 2)
+
+    # --- render (shear-warp MXU sweep) ---
+    w = config.render.width
+    cams = [Camera.create(eye=(0.4 + 0.01 * i, 0.6, -1.4)) for i in range(8)]
+    rstate = out
+    res = timeit(
+        lambda c: sweep_render.sweep_render(
+            scene.volume, scene.tf, rstate.light_volume_accum, c,
+            config.render),
+        lambda i: (cams[i % 8],), reps=reps, warmup=2)
+    record("render", res, w * w)
+    metrics["render_mrays_s"] = round(w * w / res.mean_s / 1e6, 3)
+    metrics["render_ms"] = round(res.mean_ms, 2)
+
+    # --- correlated selective-recompute step (10% budget) ---
+    imp = pstep.build_importance_grid(scene, config)
+    budget = pstep.recompute_budget(config, n_photons)
+    res = timeit(
+        lambda s: pstep.correlated_step(scene, s, config, imp,
+                                        budget).light_volume,
+        lambda i: (out.replace(key=jax.random.fold_in(out.key, 50 + i)),),
+        reps=reps, warmup=1)
+    record("correlated", res, budget)
+    metrics["correlated_ms"] = round(res.mean_ms, 2)
+    metrics["correlated_retrace_mphotons_s"] = round(
+        budget / res.mean_s / 1e6, 3)
+
+    # --- end-to-end interactive frame: correlated update + render ---
+    frame_ms = metrics["correlated_ms"] + metrics["render_ms"]
+    metrics["interactive_frame_ms"] = round(frame_ms, 2)
+
+    for name, v in stages.items():
+        print(f"  {name:>12}: {v}", file=sys.stderr)
+
+    headline = metrics["trace_mphotons_s"]
     baseline_mphotons_s = 1.0  # self-measured proxy; reference publishes none
     print(json.dumps({
-        "metric": "photon_trace_splat_throughput",
-        "value": round(mphotons_s, 3),
+        "metric": "photon_trace_throughput",
+        "value": headline,
         "unit": "Mphotons/s",
-        "vs_baseline": round(mphotons_s / baseline_mphotons_s, 3),
+        "vs_baseline": round(headline / baseline_mphotons_s, 3),
+        "config": {"volume": scene.volume.data.shape[0],
+                   "photons": n_photons,
+                   "max_interactions": config.tracer.max_interactions,
+                   "image": w},
+        "metrics": metrics,
+        "stages": stages,
     }))
 
 

@@ -81,6 +81,13 @@ class RenderConfig:
     height: int = 512
     sampling_rate: float = 1.0
     ambient: float = 0.05
+    # "sweep" -> shear-warp MXU renderer (ops/sweep_render.py, 35 ms/frame
+    # honest at 512^2/128^3 on v5e); "march" -> dense-batch ray marcher
+    # (ops/gather.py, gather-bound, ~28 s/frame — oracle/fallback only,
+    # e.g. for an eye inside the volume).
+    method: str = "sweep"
+    # Intermediate-image oversampling factor for the sweep renderer.
+    inter_scale: float = 1.5
 
 
 @dataclass(frozen=True)

@@ -14,18 +14,19 @@ TF color * (irradiance + ambient). The light volume already carries the
 isotropic phase factor and irradiance normalization (splat stage), matching
 what the reference's raycaster receives.
 
-Performance note (measured on v5e): XLA's minor-dim lane gather runs at
-11-46 G lookups/s for *dense top-level batches* at any table size, but the
-very same gather inside a sequential ``lax.fori_loop`` body collapses ~1000x
-(the loop body becomes one fusion and the gather loses its fast emitter).
-:func:`render_rays` therefore materializes ALL (pixel, step) sample
-positions at once (chunked over pixels to bound HBM temporaries, chunks
-Python-unrolled so every gather stays a top-level dense op) and composites
-with a closed-form transmittance from a cumulative sum of optical depth
-along the step axis.  As a bonus the dense form is reverse-differentiable
-(no while_loop), which the sequential marcher was not.
-:func:`render_rays_loop` keeps the original sequential marcher as the
-allclose oracle.
+Performance note (re-measured round 4 with honest per-rep host-readback
+sync, utils/benchmark.py): XLA gathers are ~0.11 G lookups/s in EVERY
+formulation — dense top-level batches and fori_loop bodies alike (round 3's
+"11-46 G dense fast path" was a benchmark-sync artifact;
+jax.block_until_ready does not reliably block on the axon tunnel backend).
+At ~13 gathers/sample that makes any gather-based march ~28 s per
+512^2 x 128^3 frame. The production renderer is therefore the shear-warp
+MXU sweep (:mod:`cpm_tpu.ops.sweep_render`, 35 ms/frame honest); this
+module keeps the gather marchers as the physics oracle and as the fallback
+for cameras the sweep cannot handle (eye inside the volume).
+:func:`render_rays` is the dense form (reverse-differentiable, modestly
+faster end-to-end than the loop); :func:`render_rays_loop` the sequential
+twin used for allclose.
 """
 
 from __future__ import annotations
@@ -121,12 +122,11 @@ def render_rays(volume: Volume, tf: TransferFunction, light_volume: Array,
         t0 = jnp.concatenate([t0, jnp.zeros((pad,), t0.dtype)])
         t1 = jnp.concatenate([t1, jnp.full((pad,), -1.0, t1.dtype)])
 
-    # Python-unrolled chunk loop: each chunk's gathers stay top-level dense
-    # ops on the XLA fast path (a lax.map/scan would re-fuse them into a
-    # sequential loop body and fall off it). A zero-valued token threads one
-    # chunk's output into the next chunk's input so XLA schedules the chunks
-    # sequentially and reuses their temporaries instead of live-ranging all
-    # of them at once (which OOMs at 256^3/444 steps).
+    # Python-unrolled chunk loop bounding the (chunk * n_steps) temporary
+    # batch. An optimization_barrier threads one chunk's output into the
+    # next chunk's input so XLA schedules the chunks sequentially and
+    # reuses their temporaries instead of live-ranging all of them at once
+    # (which OOMs at 256^3/444 steps).
     outs = []
     for i in range(n_chunks):
         o_i = o[i * chunk:(i + 1) * chunk]
@@ -147,8 +147,9 @@ def render_rays_loop(volume: Volume, tf: TransferFunction, light_volume: Array,
                      o: Array, d: Array, n_steps: int,
                      ambient: float = 0.05) -> Array:
     """Sequential-fori_loop marcher (the original formulation): kept as the
-    allclose oracle for :func:`render_rays` — identical math, ~1000x slower
-    on TPU because its in-loop gathers lose the dense fast path."""
+    allclose oracle for :func:`render_rays` — identical math; on TPU both
+    forms are gather-bound at ~0.11 G lookups/s (honest round-4 numbers:
+    dense 28.6 s vs loop 30.8 s per 512^2 x 128^3 frame)."""
     hit, t0, t1 = intersect.ray_box(o, d)
     t0 = jnp.where(hit, t0, 0.0)
     t1 = jnp.where(hit, t1, -1.0)

@@ -133,10 +133,13 @@ def _splat_flat(positions: Array, powers: Array, valid: Array,
     cell = jnp.where(inside, cell, d * h * w)  # OOB -> dropped
 
     scaled_pow = powers * scale  # (n, 3)
-    # Single rank-1 scatter-add with channels folded into the index: XLA
-    # TPU's scatter fast path (measured ~14 G scatter-adds/s on v5e) only
-    # triggers for rank-1 outputs with rank-1 indices; a (V, 3) row scatter
-    # falls off it by ~3 orders of magnitude.
+    # Single rank-1 scatter-add with channels folded into the index.
+    # Honest v5e rates (round 4, per-rep host-readback sync): rank-1
+    # 0.079 G adds/s, (V, 3) row scatter 0.090 G adds/s — round 2's
+    # "14 G fast path" was a benchmark-sync artifact; XLA scatter costs
+    # ~per element either way, which is why the DEFAULT splat path is the
+    # MXU matmul formulation (pallas/splat_mxu.py) and this exact radial
+    # scatter is the reference-parity oracle.
     contrib = weight[..., None] * scaled_pow[:, None, None, None, :]
     cell3 = cell[..., None] * 3 + jnp.arange(3, dtype=jnp.int32)
     g = jnp.zeros((d * h * w * 3 + 3,), jnp.float32)

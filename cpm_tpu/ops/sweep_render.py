@@ -1,0 +1,393 @@
+"""Shear-warp sweep renderer: volume ray-marching as MXU matmuls.
+
+Reference parity: the Inviwo ``LightingRaycaster`` + ``EntryExitPoints``
+pair consuming the splatted light volume
+(workspaces/CorrelatedPhotonMappingSingleVolume.inv), with extinction
+semantics from cl/transmittance.cl:40-62 (extinction = TF opacity *
+SAMPLING_BASE_INTERVAL_RCP) — the same physics as :mod:`cpm_tpu.ops.gather`.
+
+TPU-first redesign (why not a ray-marcher): every ray-march formulation of
+DVR spends its time in per-sample trilinear *gathers*, and XLA/TPU gathers
+are a hard wall — 0.117 G lookups/s honest (ops/sampling.py:flat_take),
+i.e. ~28 s per 512^2 x 128^3 frame no matter how the loop is arranged
+(round-3/4 measurements). Mosaic/Pallas (jax 0.9) offers no vectorized
+VMEM gather either (only lane-wise take_along_axis). So this renderer
+removes the gathers instead: the classic *shear-warp factorization*
+[Lacroute & Levoy 94] recast for the MXU.
+
+  1. Pick the principal axis a = argmax |camera forward| (static).
+  2. March over S constant-coordinate planes along a. On each plane the
+     perspective ray bundle through the eye intersects in a SEPARABLE
+     scaled grid: b = o_b + w_k (u_i - o_b), c = o_c + w_k (v_j - o_c),
+     with per-plane scalar scale w_k = (za_k - o_a)/(z0 - o_a). So the
+     in-plane bilinear resample of the volume slab factorizes into two
+     small dense matmuls, R_c (V,Nc) @ slab (Nc,Nb) @ R_b^T (Nb,U) —
+     pure MXU work. Slabs adjacent in a are lerped first (dense VPU), so
+     the composite slab-lerp + in-plane bilinear is EXACTLY the trilinear
+     fetch of the ray-marcher at the same sample point.
+  3. Classify through the TF (dense piecewise-linear VPU math), sample the
+     light volume with the same factorized resample, and composite
+     front-to-back over planes with a ``lax.scan`` — all dense.
+  4. A single final 2D bilinear warp maps the composited intermediate
+     image to screen pixels (the only gather: 4 row-gathers at H*W
+     indices, milliseconds).
+
+Honest v5e numbers (round 4, per-rep host-readback sync): 35 ms per
+512^2 x 128^3 frame (7.5 Mrays/s) vs 28.6 s for the gather marcher.
+
+The quadrature steps are uniform in the *a coordinate* (path length per
+step = dz * secant per ray), a valid discretization of the same integral
+the t-uniform marcher approximates; both converge with sampling rate.
+:func:`march_zplanes_oracle` is the exact-twin oracle: a per-ray marcher
+over the IDENTICAL plane quadrature, allclose ~1e-5 against the pre-warp
+intermediate image.
+
+Everything here is reverse-differentiable (scan + matmuls + one gather),
+which is what makes image gradients w.r.t. TF / density / light volume
+practical (BASELINE.md gradient target).
+
+Multi-chip: the intermediate image is column-sharded over the mesh — each
+device runs the plane scan for its U-chunk with the (small) volume
+replicated, one all-gather assembles the intermediate, and each device
+warps its own screen-pixel shard (cpm_tpu.parallel.sharding.
+sharded_sweep_render).
+
+Limitations (documented, asserted where cheap): the eye must be outside
+the volume slab range along the principal axis (orbit cameras are; an
+inside eye needs the ray-marcher fallback), and pixels whose rays run
+within ~1e-4 of parallel to the principal planes are rendered transparent
+(at the reference's default 45-degree FOV no such pixels exist).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpm_tpu.core import constants
+from cpm_tpu.core.camera import Camera
+from cpm_tpu.core.config import RenderConfig
+from cpm_tpu.core.types import TransferFunction, Volume
+
+Array = jnp.ndarray
+
+_EPS_PARALLEL = 1e-4
+
+# bf16_x3 matmul passes: measured 35 ms vs 74 ms/frame for true-f32 at
+# 512^2/128^3, with max intermediate error 1.2e-5 vs the per-ray oracle
+# (default single-pass bf16 is the same speed but 9.5e-4 max error —
+# visible at 8-bit levels). Note Precision.HIGH does NOT select this on
+# the axon backend (measured 77 ms, f32-like); the explicit dot algorithm
+# string does.
+_PREC = "BF16_BF16_F32_X3"
+
+
+def principal_axis(camera: Camera) -> tuple[int, int]:
+    """(axis, sign) of the dominant camera-forward component, computed on
+    host from a concrete camera (it is a jit-static argument: changing the
+    dominant axis re-specializes the permuted-volume layout, the analog of
+    the reference's kernel-define recompiles)."""
+    fwd = np.asarray(camera.center) - np.asarray(camera.eye)
+    a = int(np.argmax(np.abs(fwd)))
+    return a, (1 if fwd[a] >= 0 else -1)
+
+
+def _axis_perm(axis: int):
+    """Coordinate axes (a, b, c) and the matching transpose of [z,y,x]
+    array storage to (a-slabs, c-rows, b-cols)."""
+    b_axis, c_axis = [i for i in range(3) if i != axis]
+    to_data = lambda j: 2 - j  # coordinate axis -> (D,H,W) array axis
+    perm = (to_data(axis), to_data(c_axis), to_data(b_axis))
+    return b_axis, c_axis, perm
+
+
+def _hat_matrix(coords: Array, n: int) -> Array:
+    """(M, n) linear-interpolation matrix with CLAMP_TO_EDGE: row i holds
+    the two-tap hat weights of texture coordinate coords[i] against an
+    n-texel axis, matching ops/sampling voxel-center convention."""
+    v = jnp.clip(coords * n - 0.5, 0.0, n - 1.0)
+    k = jax.lax.broadcasted_iota(jnp.float32, (coords.shape[0], n), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(v[:, None] - k))
+
+
+class SweepSchedule(NamedTuple):
+    """Traced per-frame quantities shared by the scan and the warp."""
+
+    za: Array  # (S,) plane coordinates in marching order
+    w_planes: Array  # (S,) per-plane base-grid scale
+    valid: Array  # (S,) plane in front of the eye
+    depth0: Array  # () |z0 - o_a|
+    o_a: Array
+    o_b: Array
+    o_c: Array
+    u_lo: Array
+    u_hi: Array
+    v_lo: Array
+    v_hi: Array
+    d: Array  # (P, 3) screen ray directions
+    safe_da: Array  # (P,)
+    pix_ok: Array  # (P,) bool
+
+
+def _plane_schedule(camera: Camera, axis: int, sign: int, n_planes: int,
+                    width: int, height: int) -> SweepSchedule:
+    a = axis
+    b_axis, c_axis, _ = _axis_perm(a)
+    S = n_planes
+    sgn = jnp.float32(sign)
+    o = camera.eye
+    o_a, o_b, o_c = o[a], o[b_axis], o[c_axis]
+
+    # Plane coordinates in marching order (near -> far from the eye).
+    ks = jnp.arange(S, dtype=jnp.float32)
+    za = jnp.where(sgn > 0, (ks + 0.5) / S, (S - 0.5 - ks) / S)
+    z0 = za[0]
+    depth0 = (z0 - o_a) * sgn  # > 0 when the eye is outside the slab range
+    w_planes = (za - o_a) / jnp.where(jnp.abs(z0 - o_a) < 1e-8,
+                                      1e-8, z0 - o_a)
+    valid = ((za - o_a) * sgn > 1e-6) & (w_planes > 1e-6)
+
+    # Per-pixel slope fields r = d_b/d_a, d_c/d_a over the screen rays.
+    _, dirs = camera.rays(width, height)
+    d = dirs.reshape(-1, 3)
+    d_a = d[:, a]
+    pix_ok = d_a * sgn > _EPS_PARALLEL
+    safe_da = jnp.where(pix_ok, d_a, 1.0)
+    rb = jnp.where(pix_ok, d[:, b_axis] / safe_da, 0.0)
+    rc = jnp.where(pix_ok, d[:, c_axis] / safe_da, 0.0)
+
+    def base_range(o_bc, r):
+        r_lo = jnp.min(jnp.where(pix_ok, r, jnp.inf))
+        r_hi = jnp.max(jnp.where(pix_ok, r, -jnp.inf))
+        # Footprint at each plane, clipped to the box, back-projected to
+        # the base plane; union over planes = required base-grid range.
+        dz_k = za - o_a
+        lo_k = jnp.minimum(dz_k * r_lo, dz_k * r_hi)
+        hi_k = jnp.maximum(dz_k * r_lo, dz_k * r_hi)
+        blo = jnp.clip(o_bc + lo_k, 0.0, 1.0)
+        bhi = jnp.clip(o_bc + hi_k, 0.0, 1.0)
+        wk = jnp.maximum(w_planes, 1e-6)
+        ub1 = o_bc + (blo - o_bc) / wk
+        ub2 = o_bc + (bhi - o_bc) / wk
+        lo = jnp.min(jnp.where(valid, jnp.minimum(ub1, ub2), jnp.inf))
+        hi = jnp.max(jnp.where(valid, jnp.maximum(ub1, ub2), -jnp.inf))
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
+        span = jnp.maximum(hi - lo, 1e-5)
+        return lo, lo + span
+
+    u_lo, u_hi = base_range(o_b, rb)
+    v_lo, v_hi = base_range(o_c, rc)
+    return SweepSchedule(za=za, w_planes=w_planes, valid=valid,
+                         depth0=depth0, o_a=o_a, o_b=o_b, o_c=o_c,
+                         u_lo=u_lo, u_hi=u_hi, v_lo=v_lo, v_hi=v_hi,
+                         d=d, safe_da=safe_da, pix_ok=pix_ok)
+
+
+def _scan_planes(vol_p: Array, light_p: Array, tf: TransferFunction,
+                 sched: SweepSchedule, u: Array, v: Array,
+                 ambient: float) -> Array:
+    """Front-to-back composite over all planes for the given base-grid
+    columns ``u`` and rows ``v`` -> (len(v), len(u), 4) intermediate image.
+    ``u`` may be a shard's column chunk (multi-chip path)."""
+    na, nc, nb = vol_p.shape
+    na2, nc2, nb2 = light_p.shape[:3]
+    S = sched.za.shape[0]
+    sbi = jnp.float32(constants.SAMPLING_BASE_INTERVAL_RCP)
+    o_b, o_c = sched.o_b, sched.o_c
+
+    # Path length per plane step, per intermediate ray (constant over k).
+    dz = 1.0 / S
+    sec = jnp.sqrt((u[None, :] - o_b) ** 2 + (v[:, None] - o_c) ** 2
+                   + sched.depth0 ** 2) / jnp.maximum(sched.depth0, 1e-6)
+    dl = dz * sec  # (V, U)
+
+    def plane(carry, xs):
+        rgb, trans = carry
+        za_k, w_k, valid_k = xs
+        # Slab lerp along a (the z-lerp half of the trilinear fetch).
+        zf = jnp.clip(za_k * na - 0.5, 0.0, na - 1.0)
+        k0 = jnp.floor(zf).astype(jnp.int32)
+        fz = zf - k0.astype(jnp.float32)
+        s0 = jax.lax.dynamic_index_in_dim(vol_p, k0, 0, keepdims=False)
+        s1 = jax.lax.dynamic_index_in_dim(
+            vol_p, jnp.minimum(k0 + 1, na - 1), 0, keepdims=False)
+        slab = (1.0 - fz) * s0 + fz * s1  # (Nc, Nb)
+
+        zf2 = jnp.clip(za_k * na2 - 0.5, 0.0, na2 - 1.0)
+        k02 = jnp.floor(zf2).astype(jnp.int32)
+        fz2 = zf2 - k02.astype(jnp.float32)
+        l0 = jax.lax.dynamic_index_in_dim(light_p, k02, 0, keepdims=False)
+        l1 = jax.lax.dynamic_index_in_dim(
+            light_p, jnp.minimum(k02 + 1, na2 - 1), 0, keepdims=False)
+        lslab = (1.0 - fz2) * l0 + fz2 * l1  # (Nc2, Nb2, 3)
+
+        # In-plane sample positions: per-plane scale of the base grid.
+        b_k = o_b + w_k * (u - o_b)  # (U,)
+        c_k = o_c + w_k * (v - o_c)  # (V,)
+        Rb = _hat_matrix(b_k, nb)  # (U, Nb)
+        Rc = _hat_matrix(c_k, nc)  # (V, Nc)
+        Rb2 = _hat_matrix(b_k, nb2)
+        Rc2 = _hat_matrix(c_k, nc2)
+        in_b = ((b_k >= 0.0) & (b_k <= 1.0)).astype(jnp.float32)
+        in_c = ((c_k >= 0.0) & (c_k <= 1.0)).astype(jnp.float32)
+        mask = (in_c[:, None] * in_b[None, :]) * valid_k
+
+        field = jnp.matmul(jnp.matmul(Rc, slab, precision=_PREC), Rb.T,
+                           precision=_PREC)  # (V, U) exact trilinear sample
+        light = jnp.einsum("vc,cbk,ub->vuk", Rc2, lslab, Rb2,
+                           precision=_PREC)  # (V, U, 3)
+
+        rgba = tf.sample(field)  # (V, U, 4)
+        tau = rgba[..., 3] * sbi * dl * mask
+        seg_t = jnp.exp(-tau)
+        emit = rgba[..., :3] * (light + ambient)
+        rgb = rgb + (trans * (1.0 - seg_t))[..., None] * emit
+        trans = trans * seg_t
+        return (rgb, trans), None
+
+    V, U = v.shape[0], u.shape[0]
+    rgb0 = jnp.zeros((V, U, 3), jnp.float32)
+    trans0 = jnp.ones((V, U), jnp.float32)
+    (rgb, trans), _ = jax.lax.scan(
+        plane, (rgb0, trans0),
+        (sched.za, sched.w_planes, sched.valid.astype(jnp.float32)))
+    return jnp.concatenate([rgb, (1.0 - trans)[..., None]], axis=-1)
+
+
+def _warp(inter: Array, sched: SweepSchedule, axis: int,
+          width: int, height: int) -> Array:
+    """Final 2D bilinear warp: intermediate image -> (H, W, 4) screen."""
+    V, U = inter.shape[:2]
+    b_axis, c_axis, _ = _axis_perm(axis)
+    d, safe_da, pix_ok = sched.d, sched.safe_da, sched.pix_ok
+    z0 = sched.za[0]
+    t_base = (z0 - sched.o_a) / safe_da
+    bb = sched.o_b + t_base * d[:, b_axis]
+    cc = sched.o_c + t_base * d[:, c_axis]
+    fi = (bb - sched.u_lo) / (sched.u_hi - sched.u_lo) * U - 0.5
+    fj = (cc - sched.v_lo) / (sched.v_hi - sched.v_lo) * V - 0.5
+    in_img = (fi > -0.5) & (fi < U - 0.5) & (fj > -0.5) & (fj < V - 0.5)
+    fi = jnp.clip(fi, 0.0, U - 1.0)
+    fj = jnp.clip(fj, 0.0, V - 1.0)
+    i0 = jnp.floor(fi).astype(jnp.int32)
+    j0 = jnp.floor(fj).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, U - 1)
+    j1 = jnp.minimum(j0 + 1, V - 1)
+    wi = fi - i0.astype(jnp.float32)
+    wj = fj - j0.astype(jnp.float32)
+    flat = inter.reshape(-1, 4)
+    img = (flat[j0 * U + i0] * ((1 - wj) * (1 - wi))[:, None]
+           + flat[j0 * U + i1] * ((1 - wj) * wi)[:, None]
+           + flat[j1 * U + i0] * (wj * (1 - wi))[:, None]
+           + flat[j1 * U + i1] * (wj * wi)[:, None])
+    img = jnp.where((pix_ok & in_img)[:, None], img, 0.0)
+    return img.reshape(height, width, 4)
+
+
+def base_grid(sched: SweepSchedule, inter_u: int, inter_v: int):
+    """The (u, v) base-plane intermediate grid (each (v_j, u_i) is one ray
+    through the eye)."""
+    u = sched.u_lo + (jnp.arange(inter_u, dtype=jnp.float32) + 0.5) \
+        / inter_u * (sched.u_hi - sched.u_lo)
+    v = sched.v_lo + (jnp.arange(inter_v, dtype=jnp.float32) + 0.5) \
+        / inter_v * (sched.v_hi - sched.v_lo)
+    return u, v
+
+
+def permute_volumes(vol_data: Array, light_data: Array, axis: int):
+    _, _, perm = _axis_perm(axis)
+    return (jnp.transpose(vol_data, perm),
+            jnp.transpose(light_data, perm + (3,)))
+
+
+@partial(jax.jit,
+         static_argnames=("axis", "sign", "n_planes", "inter_u", "inter_v",
+                          "width", "height", "ambient"))
+def _sweep_core(vol_data: Array, tf: TransferFunction, light_data: Array,
+                camera: Camera, *, axis: int, sign: int, n_planes: int,
+                inter_u: int, inter_v: int, width: int, height: int,
+                ambient: float):
+    vol_p, light_p = permute_volumes(vol_data, light_data, axis)
+    sched = _plane_schedule(camera, axis, sign, n_planes, width, height)
+    u, v = base_grid(sched, inter_u, inter_v)
+    inter = _scan_planes(vol_p, light_p, tf, sched, u, v, ambient)
+    img = _warp(inter, sched, axis, width, height)
+    return img, inter, (sched.u_lo, sched.u_hi, sched.v_lo, sched.v_hi,
+                        sched.za)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def sweep_render(volume: Volume, tf: TransferFunction, light_volume: Array,
+                 camera: Camera, config: RenderConfig,
+                 n_planes: int | None = None,
+                 inter_scale: float | None = None,
+                 return_intermediate: bool = False):
+    """Render an (H, W, 4) RGBA image with the MXU sweep.
+
+    ``light_volume`` is the (D, H, W, 3) irradiance grid from the splat
+    stage. ``inter_scale`` sets the intermediate-image oversampling vs the
+    screen (rounded up to a lane multiple). The camera must be concrete
+    (its dominant axis is a static specialization parameter).
+    """
+    axis, sign = principal_axis(camera)
+    na = volume.data.shape[2 - axis]
+    if n_planes is None:
+        n_planes = max(2, int(na * config.sampling_rate))
+    if inter_scale is None:
+        inter_scale = getattr(config, "inter_scale", 1.5)
+    U = _round_up(int(config.width * inter_scale), 128)
+    V = _round_up(int(config.height * inter_scale), 128)
+    img, inter, grid = _sweep_core(
+        volume.data, tf, light_volume, camera,
+        axis=axis, sign=sign, n_planes=n_planes, inter_u=U, inter_v=V,
+        width=config.width, height=config.height, ambient=config.ambient)
+    if return_intermediate:
+        return img, inter, grid
+    return img
+
+
+def march_zplanes_oracle(volume: Volume, tf: TransferFunction,
+                         light_volume: Array, o: Array, d: Array,
+                         za: Array, axis: int, ambient: float) -> Array:
+    """Per-ray z-plane-quadrature marcher (gather-based) used as the
+    allclose oracle for the sweep core: rays (N,3), planes ``za`` in
+    marching order, identical trilinear + TF + compositing math."""
+    from cpm_tpu.ops.sampling import (sample_volume_trilinear,
+                                      sample_volume_trilinear_vec)
+    sbi = constants.SAMPLING_BASE_INTERVAL_RCP
+    S = za.shape[0]
+    dz = 1.0 / S
+    d_a = d[:, axis]
+    sec = jnp.linalg.norm(d, axis=-1) / jnp.maximum(jnp.abs(d_a), 1e-12)
+
+    def step(carry, za_k):
+        rgb, trans = carry
+        t = (za_k - o[:, axis]) / d_a
+        p = o + t[:, None] * d
+        others = [i for i in range(3) if i != axis]
+        inside = ((t > 0)
+                  & (p[:, others[0]] >= 0.0) & (p[:, others[0]] <= 1.0)
+                  & (p[:, others[1]] >= 0.0) & (p[:, others[1]] <= 1.0))
+        f = sample_volume_trilinear(volume.data, p)
+        rgba = tf.sample(f)
+        light = sample_volume_trilinear_vec(light_volume, p)
+        tau = rgba[:, 3] * sbi * dz * sec * inside.astype(jnp.float32)
+        seg_t = jnp.exp(-tau)
+        emit = rgba[:, :3] * (light + ambient)
+        rgb = rgb + (trans * (1.0 - seg_t))[:, None] * emit
+        trans = trans * seg_t
+        return (rgb, trans), None
+
+    n = o.shape[0]
+    (rgb, trans), _ = jax.lax.scan(
+        step, (jnp.zeros((n, 3), jnp.float32), jnp.ones((n,), jnp.float32)),
+        za)
+    return jnp.concatenate([rgb, (1.0 - trans)[:, None]], axis=-1)

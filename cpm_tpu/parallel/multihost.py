@@ -194,6 +194,12 @@ def multihost_full_step(scene: Scene, state: PhotonMapState,
                           retraced=jnp.zeros(photons.n, bool),
                           n_remaining=jnp.int32(0))
 
+    if config.render.method == "sweep":
+        from cpm_tpu.parallel.sharding import sharded_sweep_render
+        img = sharded_sweep_render(scene.volume, scene.tf, lv, scene.camera,
+                                   config.render, mesh,
+                                   axis_name=(HOST_AXIS, CHIP_AXIS))
+        return state, img
     h, w = config.render.height, config.render.width
     origins, dirs = scene.camera.rays(w, h)
     o = origins.reshape(-1, 3)

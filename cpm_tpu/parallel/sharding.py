@@ -117,6 +117,63 @@ def sharded_trace_splat(volume: Volume, tf: TransferFunction,
     )(light_samples, key)
 
 
+@partial(jax.jit,
+         static_argnames=("axis", "sign", "n_planes", "inter_u", "inter_v",
+                          "width", "height", "ambient", "mesh", "axis_name"))
+def _sharded_sweep_core(vol_data: Array, tf: TransferFunction,
+                        light_data: Array, camera, *, axis: int, sign: int,
+                        n_planes: int, inter_u: int, inter_v: int,
+                        width: int, height: int, ambient: float,
+                        mesh: Mesh, axis_name):
+    """Shear-warp sweep with the intermediate image column-sharded over the
+    mesh: each device runs the full front-to-back plane scan for its
+    U-chunk (volume + TF + light volume replicated — they are MBs), then
+    the composited intermediate is assembled (one all-gather, ~a few MB)
+    and warped to the screen. ``axis_name`` may be a single axis or a tuple
+    (multi-host (hosts, chips) meshes shard over both)."""
+    from cpm_tpu.ops import sweep_render as sw
+
+    vol_p, light_p = sw.permute_volumes(vol_data, light_data, axis)
+    sched = sw._plane_schedule(camera, axis, sign, n_planes, width, height)
+    u, v = sw.base_grid(sched, inter_u, inter_v)
+
+    def scan_shard(u_chunk):
+        return sw._scan_planes(vol_p, light_p, tf, sched, u_chunk, v,
+                               ambient)
+
+    inter = shard_map(
+        scan_shard, mesh=mesh,
+        in_specs=(P(axis_name),),
+        out_specs=P(None, axis_name, None),
+        check_vma=False,
+    )(u)
+    # The warp reads arbitrary intermediate columns -> XLA inserts the
+    # all-gather of `inter` here; the per-pixel work itself is trivial.
+    return sw._warp(inter, sched, axis, width, height)
+
+
+def sharded_sweep_render(volume: Volume, tf: TransferFunction,
+                         light_volume: Array, camera, config,
+                         mesh: Mesh, axis_name="data") -> Array:
+    """Multi-chip shear-warp render (production path); see
+    :func:`_sharded_sweep_core`. ``config`` is a RenderConfig."""
+    from cpm_tpu.ops import sweep_render as sw
+
+    axis, sign = sw.principal_axis(camera)
+    na = volume.data.shape[2 - axis]
+    n_planes = max(2, int(na * config.sampling_rate))
+    n_shards = int(np.prod([mesh.shape[a] for a in (
+        axis_name if isinstance(axis_name, tuple) else (axis_name,))]))
+    U = sw._round_up(int(config.width * config.inter_scale), 128)
+    U = sw._round_up(U, n_shards)
+    V = sw._round_up(int(config.height * config.inter_scale), 128)
+    return _sharded_sweep_core(
+        volume.data, tf, light_volume, camera, axis=axis, sign=sign,
+        n_planes=n_planes, inter_u=U, inter_v=V, width=config.width,
+        height=config.height, ambient=config.ambient, mesh=mesh,
+        axis_name=axis_name)
+
+
 @partial(jax.jit, static_argnames=("n_steps", "ambient", "mesh", "axis_name"))
 def sharded_render_rays(volume: Volume, tf: TransferFunction,
                         light_volume: Array, o: Array, d: Array,
@@ -160,6 +217,10 @@ def sharded_full_step(scene: Scene, state: PhotonMapState,
                           retraced=jnp.zeros(photons.n, bool),
                           n_remaining=jnp.int32(0))
 
+    if config.render.method == "sweep":
+        img = sharded_sweep_render(scene.volume, scene.tf, lv, scene.camera,
+                                   config.render, mesh, axis_name)
+        return state, img
     h, w = config.render.height, config.render.width
     origins, dirs = scene.camera.rays(w, h)
     o = origins.reshape(-1, 3)

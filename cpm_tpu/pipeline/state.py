@@ -62,4 +62,9 @@ class PhotonMapState:
     # (the analog of the reference's resetPhotonImportance sentinel,
     # progressivephotontracercl.cpp:607-611)
     n_remaining: Array  # () int32 — flagged photons not yet retraced
+    # Equal-importance round-robin phase, advanced once per correlated
+    # step: the analog of PhotonRecomputationDetector's per-call iteration
+    # counter (photonrecomputationdetector.cl:160-194). NOT reset by
+    # invalidations — its job is coverage rotation across calls.
+    recompute_phase: Array = 0
     prev_minmax: Array | None = None  # previous time step's min/max grid

@@ -16,7 +16,8 @@ from cpm_tpu.core.config import RenderConfig, TracerConfig
 from cpm_tpu.core.lights import Light
 from cpm_tpu.core.types import TransferFunction, Volume
 from cpm_tpu.io import synthetic
-from cpm_tpu.ops import emit, gather, sampling, splat, tracer
+from cpm_tpu.ops import sweep_render
+from cpm_tpu.ops import emit, sampling, splat, tracer
 
 
 def main(out_path="/tmp/render_sphere.npy"):
@@ -45,7 +46,7 @@ def main(out_path="/tmp/render_sphere.npy"):
 
     cam = Camera.create(eye=(0.5, 0.7, -1.6))
     rcfg = RenderConfig(width=512, height=512)
-    img = gather.render(volume, tf, lv, cam, rcfg)
+    img = sweep_render.sweep_render(volume, tf, lv, cam, rcfg)
     jax.block_until_ready(img)
     t3 = time.perf_counter()
 
@@ -66,7 +67,7 @@ def main(out_path="/tmp/render_sphere.npy"):
     lv = splat.splat_all(photons, (dim, dim, dim))
     jax.block_until_ready(lv)
     t2 = time.perf_counter()
-    img = gather.render(volume, tf, lv, cam, rcfg)
+    img = sweep_render.sweep_render(volume, tf, lv, cam, rcfg)
     jax.block_until_ready(img)
     t3 = time.perf_counter()
     print(f"steady-state: trace {(t1-t0)*1e3:.1f}ms "
