@@ -52,6 +52,105 @@ def build(vol_dim: int, photons_xy: tuple[int, int], max_i: int,
     return scene, config
 
 
+def run_large(scene, config, reps: int):
+    """BASELINE config-5 scale proof: 4M photons / 256^3 / 1024^2 on one
+    chip, stage-by-stage OUTSIDE the fused step jits (the monolithic 4M
+    program OOMs and compiles for >10 min; the chunked trace compiles one
+    512k-lane program and reuses it — bit-identical results, lane-id RNG)."""
+    import time as _time
+
+    from cpm_tpu.core.camera import Camera
+    from cpm_tpu.ops import splat as splat_mod
+    from cpm_tpu.ops import sweep_render
+    from cpm_tpu.ops import tracer as tracer_mod
+    from cpm_tpu.pipeline import step as pstep
+    from cpm_tpu.utils.benchmark import readback, timeit
+
+    state = pstep.init_state(scene, config)
+    n = state.photons.n
+    chunk = 1 << 19  # 512k lanes per wavefront launch
+    stages: dict[str, dict] = {}
+    metrics: dict[str, float] = {}
+
+    def trace(key):
+        return tracer_mod.trace_photons_chunked(
+            scene.volume, scene.tf, scene.tf_scattering,
+            state.light_samples, key, config.tracer, chunk)
+
+    t0 = _time.perf_counter()
+    photons = trace(jax.random.fold_in(state.key, 0))
+    readback(photons.positions)
+    print(f"large trace compile+first: {_time.perf_counter() - t0:.1f}s "
+          f"({n} photons, chunk {chunk})", file=sys.stderr)
+    keys = [jax.random.fold_in(state.key, 100 + i) for i in range(2)]
+    res = timeit(lambda k: trace(k).positions, lambda i: (keys[i % 2],),
+                 reps=reps, warmup=0)
+    stages["trace"] = {"ms": round(res.mean_ms, 1)}
+    metrics["trace_mphotons_s"] = round(n / res.mean_s / 1e6, 3)
+
+    # --- splat 4M x I deposits ---
+    photons = photons.replace(
+        radius_rel=jnp.float32(config.tracer.radius_rel),
+        scene_radius=scene.volume.scene_radius())
+    dim = pstep.light_volume_shape(config)
+    fp = pstep.splat_footprint(config)
+    t0 = _time.perf_counter()
+    lv = splat_mod.splat_all(photons, dim, fp, method="scatter")
+    readback(lv)
+    print(f"large splat compile+first: {_time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    variants = [photons.replace(powers=photons.powers * (1.0 + 0.01 * i))
+                for i in range(2)]
+    res = timeit(lambda p: splat_mod.splat_all(p, dim, fp, method="scatter"),
+                 lambda i: (variants[i % 2],), reps=reps, warmup=0)
+    stages["splat"] = {"ms": round(res.mean_ms, 1)}
+    metrics["splat_ms"] = round(res.mean_ms, 1)
+
+    # --- render 1024^2 over 256^3 ---
+    w = config.render.width
+    cams = [Camera.create(eye=(0.4 + 0.01 * i, 0.6, -1.4)) for i in range(4)]
+    res = timeit(lambda c: sweep_render.sweep_render(
+        scene.volume, scene.tf, lv, c, config.render),
+        lambda i: (cams[i % 4],), reps=max(reps, 3), warmup=1)
+    stages["render"] = {"ms": round(res.mean_ms, 1)}
+    metrics["render_mrays_s"] = round(w * w / res.mean_s / 1e6, 3)
+    metrics["render_ms"] = round(res.mean_ms, 1)
+
+    # --- correlated selective recompute at 4M (top_k selection) ---
+    big_state = state.replace(photons=photons, light_volume=lv,
+                              light_volume_accum=lv)
+    imp = pstep.build_importance_grid(scene, config)
+    budget = pstep.recompute_budget(config, n)
+    t0 = _time.perf_counter()
+    out = pstep.correlated_step(scene, big_state, config, imp, budget)
+    readback(out.light_volume)
+    print(f"large correlated compile+first: {_time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    res = timeit(
+        lambda s: pstep.correlated_step(scene, s, config, imp,
+                                        budget).light_volume,
+        lambda i: (big_state.replace(
+            key=jax.random.fold_in(big_state.key, 50 + i)),),
+        reps=reps, warmup=0)
+    stages["correlated"] = {"ms": round(res.mean_ms, 1)}
+    metrics["correlated_ms"] = round(res.mean_ms, 1)
+
+    headline = metrics["trace_mphotons_s"]
+    for name, v in stages.items():
+        print(f"  {name:>12}: {v}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "photon_trace_throughput_4M",
+        "value": headline,
+        "unit": "Mphotons/s",
+        "vs_baseline": headline,
+        "config": {"volume": scene.volume.data.shape[0], "photons": n,
+                   "max_interactions": config.tracer.max_interactions,
+                   "image": w},
+        "metrics": metrics,
+        "stages": stages,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--large", action="store_true",
@@ -71,8 +170,9 @@ def main():
 
     if args.large:
         scene, config = build(256, (2048, 2048), 4, width=1024)
-    else:
-        scene, config = build(128, (256, 256), 4, width=512)
+        run_large(scene, config, args.reps)
+        return
+    scene, config = build(128, (256, 256), 4, width=512)
     reps = args.reps
 
     state = pstep.init_state(scene, config)

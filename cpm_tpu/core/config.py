@@ -27,6 +27,12 @@ class TracerConfig:
     max_interactions: int = 1
     phase_type: int = phase_mod.ISOTROPIC
     phase_g: float = 0.0  # HG anisotropy / Schlick k
+    # Clip AABB in texture space: the analog of the clip-plane properties
+    # uploaded as the tracer kernel's bounding box
+    # (progressivephotontracercl.cpp:674-686) — photons only propagate
+    # inside this box.
+    clip_min: tuple = (0.0, 0.0, 0.0)
+    clip_max: tuple = (1.0, 1.0, 1.0)
     tau_max: float = 1.0  # safety multiplier on the per-cell majorants
     sampling_rate: float = 2.0
     alpha: float = 0.3  # progressive radius alpha (Knaus-Zwicker)
@@ -34,6 +40,17 @@ class TracerConfig:
     no_single_scattering: bool = False  # reference define NO_SINGLE_SCATTERING
     radius_rel: float = constants.DEFAULT_RADIUS_REL
     use_majorant_grid: bool = True  # macrocell empty-space skipping
+    # Photon storage dtype: "float32" or the half-precision "float16"
+    # (the reference's -D PHOTON_DATA_TYPE half option, photon.cl:49-63)
+    # — halves photon-buffer memory and splat/select bandwidth at 4M
+    # photons; positions quantize to ~5e-4 of the volume extent.
+    photon_dtype: str = "float32"
+    # Trace at most this many lanes per wavefront launch (None = all).
+    # BASELINE config 5 (4M photons) needs chunking: the monolithic
+    # wavefront's temporaries OOM and its compile is prohibitive, while
+    # chunks reuse ONE compiled program; results are bit-identical
+    # (lane-id-keyed RNG).
+    trace_chunk: int | None = None
     majorant_cell_size: int = 8  # voxels per majorant macrocell axis
     # Voxels per packed-brick axis for the hot-loop volume fetch
     # (ops/sampling.py:pack_bricks). Measured at 128^3/65k photons: scale 2
@@ -98,3 +115,9 @@ class PipelineConfig:
     render: RenderConfig = field(default_factory=RenderConfig)
     photons_x: int = 256  # photon grid (photons = photons_x * photons_y)
     photons_y: int = 256
+    # "linear" keeps raster sample order; "hilbert" reorders the 2D sample
+    # grid along a Hilbert curve (cl/samplegridindex.cl:51-85) so that
+    # nearby lane ids emit spatially nearby photons — this is what makes
+    # the id-ordered "spatial sort" of the retrace batch
+    # (ops/select.py spatial_sort) an actual spatial sort.
+    sample_order: str = "linear"

@@ -57,10 +57,14 @@ def select_photons_to_recompute(importance: Array, budget: int,
     if exclude is not None:
         importance = jnp.where(exclude, 0.0, importance)
     n_flagged = jnp.sum((importance > 0.0).astype(jnp.int32))
-    order = jnp.argsort(-importance)  # descending priority
+    # top_k instead of a full descending argsort: only the budget-sized
+    # head is ever used, and at 4M photons (BASELINE config 5) the full
+    # sort is the difference between a working and an OOM-ing step. Ties
+    # resolve lowest-index-first in both formulations.
+    _, indices = jax.lax.top_k(importance, min(budget, n))
     ranks = jnp.arange(budget, dtype=jnp.int32)
-    take = jnp.minimum(ranks, n - 1)
-    indices = order[take].astype(jnp.int32)
+    indices = indices[jnp.minimum(ranks, indices.shape[0] - 1)]
+    indices = indices.astype(jnp.int32)
     valid = ranks < n_flagged
     if spatial_sort:
         # Invalid lanes sort to the end (key = n).

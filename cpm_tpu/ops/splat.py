@@ -159,9 +159,31 @@ def _dispatch(method: str, pos: Array, pow_: Array, valid: Array,
     The product paths scale powers by PRODUCT_KERNEL_MATCH so both kernels
     deposit the same expected irradiance.
     """
+    if method == "auto":
+        method = default_method()
     if method == "scatter":
-        return _splat_flat(pos, pow_, valid, radius_rel, scale, out_dim,
-                           footprint)
+        # Bound the (chunk, f^3, 3) weight temporaries: at 4M photons x 4
+        # interactions the unchunked scatter materializes ~13 GB and OOMs
+        # (BASELINE config 5). The accumulator chain serializes chunks, so
+        # peak temp memory is one chunk's worth.
+        chunk = 1 << 20
+        n = pos.shape[0]
+        if n <= chunk:
+            return _splat_flat(pos, pow_, valid, radius_rel, scale, out_dim,
+                               footprint)
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        if pad:
+            pos = jnp.concatenate([pos, jnp.full((pad, 3), 1e30)])
+            pow_ = jnp.concatenate([pow_, jnp.zeros((pad, 3))])
+            valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+        acc = None
+        for i in range(n_chunks):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            g = _splat_flat(pos[sl], pow_[sl], valid[sl], radius_rel, scale,
+                            out_dim, footprint)
+            acc = g if acc is None else acc + g
+        return acc
     pw = (pow_ * (scale * jnp.float32(PRODUCT_KERNEL_MATCH))
           * valid[:, None].astype(jnp.float32))
     if method == "matmul":

@@ -176,6 +176,19 @@ def trace_photons(volume: Volume, tf: TransferFunction,
     power0 = light_samples.powers / jnp.float32(max_i)
     t0 = light_samples.tspan[:, 0]
     t1 = light_samples.tspan[:, 1]
+    # Clip AABB (progressivephotontracercl.cpp:674-686): the kernel's
+    # volumeBBox is the clip box, so both the initial spans and every
+    # post-scatter re-intersection are taken against it.
+    clip_lo = jnp.asarray(config.clip_min, jnp.float32)
+    clip_hi = jnp.asarray(config.clip_max, jnp.float32)
+    clipped = config.clip_min != (0.0, 0.0, 0.0) or \
+        config.clip_max != (1.0, 1.0, 1.0)
+    if clipped:
+        chit, ct0, ct1 = intersect.ray_box(
+            light_samples.origins, light_samples.directions,
+            clip_lo, clip_hi)
+        t0 = jnp.maximum(t0, jnp.where(chit, ct0, 0.0))
+        t1 = jnp.minimum(t1, jnp.where(chit, ct1, -1.0))
 
     init = _TraceState(
         step=jnp.int32(0),
@@ -265,7 +278,7 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         new_dir, pdf = phase_mod.sample_phase(
             config.phase_type, s.dir, jnp.float32(config.phase_g),
             u[:, 3], u[:, 4])
-        hit, bt0, bt1 = intersect.ray_box(p, new_dir)
+        hit, bt0, bt1 = intersect.ray_box(p, new_dir, clip_lo, clip_hi)
         change_dir = do_scatter | first_event
         still_active = s.active & ~exited & (~collide | (change_dir & hit))
 
@@ -365,10 +378,14 @@ def trace_photons(volume: Volume, tf: TransferFunction,
 
     exit_power = jnp.where(res["absorbed"], big, res["fpow"][:, 0])
     exit_dir = encode_direction(res["fdir"])
+    # Half storage option (photon.cl:49-63 -D PHOTON_DATA_TYPE half): the
+    # FLT_MAX sentinel overflows to +inf in f16, which every consumer's
+    # `< 1e30` validity test still catches.
+    dt = jnp.dtype(config.photon_dtype)
     photons = PhotonData(
-        positions=jnp.moveaxis(res["pos"], 0, 1),
-        powers=jnp.moveaxis(res["pow"], 0, 1),
-        directions=jnp.moveaxis(res["dirs"], 0, 1),
+        positions=jnp.moveaxis(res["pos"], 0, 1).astype(dt),
+        powers=jnp.moveaxis(res["pow"], 0, 1).astype(dt),
+        directions=jnp.moveaxis(res["dirs"], 0, 1).astype(dt),
         exit_power=exit_power,
         exit_direction=exit_dir,
         radius_rel=jnp.float32(config.radius_rel),
@@ -385,6 +402,48 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         }
         return photons, stats
     return photons
+
+
+def trace_photons_chunked(volume: Volume, tf: TransferFunction,
+                          tf_scattering: TransferFunction,
+                          light_samples: LightSamples, base_key: Array,
+                          config: TracerConfig, chunk: int,
+                          lane_ids: Array | None = None) -> PhotonData:
+    """Trace in sequential chunks of ``chunk`` lanes (BASELINE config 5:
+    4M photons don't fit the monolithic wavefront's temporaries, and the
+    4M-wide program's compile time is prohibitive — the chunked form
+    compiles ONE chunk-shaped program and reuses it).
+
+    Bit-identical to the monolithic trace: RNG streams are keyed by global
+    lane id, not buffer position (the compaction-invariance property,
+    tests/test_compaction.py), so splitting the buffer changes nothing.
+    """
+    n = light_samples.n
+    if chunk >= n:
+        return trace_photons(volume, tf, tf_scattering, light_samples,
+                             base_key, config, lane_ids=lane_ids)
+    assert n % chunk == 0, (n, chunk)
+    outs = []
+    for i in range(n // chunk):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        sub = LightSamples(
+            origins=light_samples.origins[sl],
+            directions=light_samples.directions[sl],
+            powers=light_samples.powers[sl],
+            tspan=light_samples.tspan[sl],
+            iteration=light_samples.iteration)
+        ids = (lane_ids[sl] if lane_ids is not None
+               else jnp.arange(i * chunk, (i + 1) * chunk, dtype=jnp.int32))
+        outs.append(trace_photons(volume, tf, tf_scattering, sub, base_key,
+                                  config, lane_ids=ids))
+    first = outs[0]
+    return first.replace(
+        positions=jnp.concatenate([o.positions for o in outs], axis=1),
+        powers=jnp.concatenate([o.powers for o in outs], axis=1),
+        directions=jnp.concatenate([o.directions for o in outs], axis=1),
+        exit_power=jnp.concatenate([o.exit_power for o in outs], axis=0),
+        exit_direction=jnp.concatenate([o.exit_direction for o in outs],
+                                       axis=0))
 
 
 def merge_recomputed(photons: PhotonData, new: PhotonData,

@@ -121,3 +121,52 @@ def transmittance_oracle(data: np.ndarray, tf_lut: np.ndarray,
         opacity = tf_lut[i0, 3] * (1 - f) + tf_lut[i1, 3] * f
         thick += opacity
     return float(np.exp(-thick * dt * sigma_scale))
+
+
+def tf_eval_oracle(tf_positions: np.ndarray, tf_colors: np.ndarray,
+                   x: np.ndarray) -> np.ndarray:
+    """Piecewise-linear RGBA transfer function with edge clamp (the
+    reference's tfData texture semantics at infinite resolution)."""
+    out = np.empty(x.shape + (4,), np.float64)
+    for c in range(4):
+        out[..., c] = np.interp(x, tf_positions, tf_colors[:, c])
+    return out
+
+
+def dvr_zplane_oracle(data: np.ndarray, tf_positions: np.ndarray,
+                      tf_colors: np.ndarray, light: np.ndarray,
+                      o: np.ndarray, d: np.ndarray, za: np.ndarray,
+                      axis: int, ambient: float,
+                      sampling_base_interval_rcp: float = 150.0
+                      ) -> np.ndarray:
+    """End-to-end CPU render oracle: emission-absorption DVR over z-plane
+    quadrature (the sweep renderer's discretization), float64 numpy
+    throughout. Mirrors the LightingRaycaster compositing with extinction =
+    TF opacity * SAMPLING_BASE_INTERVAL_RCP (transmittance.cl:40-62).
+
+    ``light`` is (d, h, w, 3). Rays (N, 3); returns (N, 4) RGBA.
+    """
+    n = o.shape[0]
+    S = len(za)
+    dz = 1.0 / S
+    rgb = np.zeros((n, 3), np.float64)
+    trans = np.ones(n, np.float64)
+    others = [i for i in range(3) if i != axis]
+    d_a = d[:, axis]
+    sec = np.linalg.norm(d, axis=-1) / np.maximum(np.abs(d_a), 1e-12)
+    for za_k in za:
+        t = (za_k - o[:, axis]) / d_a
+        p = o + t[:, None] * d
+        inside = ((t > 0)
+                  & (p[:, others[0]] >= 0) & (p[:, others[0]] <= 1)
+                  & (p[:, others[1]] >= 0) & (p[:, others[1]] <= 1))
+        f = trilinear_oracle(data, p)
+        rgba = tf_eval_oracle(tf_positions, tf_colors, f)
+        lrgb = np.stack([trilinear_oracle(light[..., c], p)
+                         for c in range(3)], axis=-1)
+        tau = rgba[:, 3] * sampling_base_interval_rcp * dz * sec * inside
+        seg_t = np.exp(-tau)
+        emit = rgba[:, :3] * (lrgb + ambient)
+        rgb += (trans * (1.0 - seg_t))[:, None] * emit
+        trans *= seg_t
+    return np.concatenate([rgb, (1.0 - trans)[:, None]], axis=-1)

@@ -209,3 +209,50 @@ def multihost_full_step(scene: Scene, state: PhotonMapState,
     img = multihost_render_rays(scene.volume, scene.tf, lv, o, d, n_steps,
                                 config.render.ambient, mesh)
     return state, img.reshape(h, w, 4)
+
+
+# ---------------------------------------------------------------------------
+# DCN scaling budget (BASELINE >=85% 1->4-host target, argued on paper
+# because this machine has one chip; tests/test_multihost.py pins the
+# collective inventory the argument relies on)
+# ---------------------------------------------------------------------------
+
+def dcn_scaling_budget(config: PipelineConfig, step_time_s: float,
+                       n_hosts: int = 4, dcn_bytes_per_s: float = 25e9,
+                       overlap: float = 0.0) -> dict:
+    """Predicted multi-host scaling efficiency from first principles.
+
+    The per-step communication is ONE light-volume psum; on the hybrid
+    mesh it lowers to an ICI reduction inside each host followed by a DCN
+    all-reduce of the (D, H, W, 3) f32 grid. A ring all-reduce moves
+    2*(n-1)/n * bytes per host. Everything else (trace, splat, render
+    scan) is sharded data-parallel with zero communication — the HLO
+    collective inventory test pins this.
+
+    efficiency = t_compute / (t_compute + (1-overlap) * t_dcn), with
+    t_compute = step_time_s / n_hosts (perfect data-parallel split of the
+    measured single-chip step). ``overlap=0`` is the pessimistic bound: in
+    practice XLA overlaps the grid reduction with the next wavefront
+    stage.
+
+    With the honest round-4 numbers (trace+splat 91 ms at 65k photons,
+    65^3 light grid = 3.3 MB): t_dcn = 2*(3/4)*3.3 MB / 25 GB/s = 0.20 ms
+    against 23 ms of per-host compute -> 99.1% efficiency. Even the 4M-
+    photon config (grid unchanged, compute 64x) stays >99%; the budget
+    only drops below 85% if the step is faster than ~1.2 ms or DCN slower
+    than ~1.5 GB/s.
+    """
+    d, h, w = pstep.light_volume_shape(config)
+    lv_bytes = d * h * w * 3 * 4
+    t_dcn = 2.0 * (n_hosts - 1) / n_hosts * lv_bytes / dcn_bytes_per_s
+    t_compute = step_time_s / n_hosts
+    eff = t_compute / (t_compute + (1.0 - overlap) * t_dcn)
+    return {
+        "light_volume_bytes": lv_bytes,
+        "dcn_bytes_per_step_per_host": 2.0 * (n_hosts - 1) / n_hosts
+                                       * lv_bytes,
+        "t_dcn_s": t_dcn,
+        "t_compute_s": t_compute,
+        "efficiency": eff,
+        "meets_85pct_target": eff >= 0.85,
+    }

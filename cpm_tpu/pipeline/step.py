@@ -58,6 +58,10 @@ def emit_all(scene: Scene, config: PipelineConfig, key: Array) -> LightSamples:
     launch per light.
     """
     grid = sampling.stratified_grid_2d(config.photons_x, config.photons_y)
+    if config.sample_order == "hilbert":
+        order = max(config.photons_x, config.photons_y).bit_length()
+        idx = sampling.hilbert_index_2d(grid[:, 0], grid[:, 1], order=order)
+        grid = grid[jnp.argsort(idx)]
     bundles = []
     for i, light in enumerate(scene.lights):
         k = jax.random.fold_in(key, i)
@@ -150,9 +154,15 @@ def full_trace_step(scene: Scene, state: PhotonMapState,
 
     iteration = jnp.int32(0)
     key = jax.random.fold_in(state.key, iteration)
-    photons = tracer.trace_photons(
-        scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
-        key, config.tracer)
+    chunk = config.tracer.trace_chunk
+    if chunk:
+        photons = tracer.trace_photons_chunked(
+            scene.volume, scene.tf, scene.tf_scattering,
+            state.light_samples, key, config.tracer, chunk)
+    else:
+        photons = tracer.trace_photons(
+            scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
+            key, config.tracer)
     photons = photons.replace(
         iteration=iteration, radius_rel=jnp.float32(config.tracer.radius_rel),
         scene_radius=scene.volume.scene_radius())

@@ -40,7 +40,7 @@ def main(out_path="/tmp/render_sphere.npy"):
     t1 = time.perf_counter()
 
     dim = splat.light_volume_dim(float(photons.radius_rel))
-    lv = splat.splat_all(photons, (dim, dim, dim))
+    lv = splat.splat_all(photons, (dim, dim, dim), method="auto")
     jax.block_until_ready(lv)
     t2 = time.perf_counter()
 
@@ -64,7 +64,7 @@ def main(out_path="/tmp/render_sphere.npy"):
     photons = tracer.trace_photons(volume, tf, tf_s, ls, key, cfg)
     jax.block_until_ready(photons.positions)
     t1 = time.perf_counter()
-    lv = splat.splat_all(photons, (dim, dim, dim))
+    lv = splat.splat_all(photons, (dim, dim, dim), method="auto")
     jax.block_until_ready(lv)
     t2 = time.perf_counter()
     img = sweep_render.sweep_render(volume, tf, lv, cam, rcfg)
