@@ -66,7 +66,11 @@ def run_large(scene, config, reps: int):
     from cpm_tpu.pipeline import step as pstep
     from cpm_tpu.utils.benchmark import readback, timeit
 
+    print("large: scene built", file=sys.stderr, flush=True)
     state = pstep.init_state(scene, config)
+    from cpm_tpu.utils.benchmark import readback as _rb
+    _rb(state.light_samples.tspan)
+    print("large: state initialized", file=sys.stderr, flush=True)
     n = state.photons.n
     chunk = 1 << 19  # 512k lanes per wavefront launch
     stages: dict[str, dict] = {}
@@ -95,14 +99,15 @@ def run_large(scene, config, reps: int):
     dim = pstep.light_volume_shape(config)
     fp = pstep.splat_footprint(config)
     t0 = _time.perf_counter()
-    lv = splat_mod.splat_all(photons, dim, fp, method="scatter")
+    lv = splat_mod.splat_all_chunked(photons, dim, fp, method="scatter")
     readback(lv)
     print(f"large splat compile+first: {_time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     variants = [photons.replace(powers=photons.powers * (1.0 + 0.01 * i))
                 for i in range(2)]
-    res = timeit(lambda p: splat_mod.splat_all(p, dim, fp, method="scatter"),
-                 lambda i: (variants[i % 2],), reps=reps, warmup=0)
+    res = timeit(
+        lambda p: splat_mod.splat_all_chunked(p, dim, fp, method="scatter"),
+        lambda i: (variants[i % 2],), reps=reps, warmup=0)
     stages["splat"] = {"ms": round(res.mean_ms, 1)}
     metrics["splat_ms"] = round(res.mean_ms, 1)
 
@@ -170,6 +175,11 @@ def main():
 
     if args.large:
         scene, config = build(256, (2048, 2048), 4, width=1024)
+        # Exact scatter splat: the dense product formulation is
+        # O(photons * grid) and takes minutes at 16.7M deposits.
+        from dataclasses import replace as _dcr
+        from cpm_tpu.core.config import SplatConfig
+        config = _dcr(config, splat=SplatConfig(method="scatter"))
         run_large(scene, config, args.reps)
         return
     scene, config = build(128, (256, 256), 4, width=512)

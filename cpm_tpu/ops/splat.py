@@ -103,45 +103,44 @@ def _splat_flat(positions: Array, powers: Array, valid: Array,
         jnp.trunc((positions + r) * dims - 0.5).astype(jnp.int32) + 1,
         jnp.array([w, h, d], jnp.int32))
 
-    offs = jnp.arange(f, dtype=jnp.int32)
-    # (n, f) per axis coordinates
-    cx = start[:, 0:1] + offs[None, :]
-    cy = start[:, 1:2] + offs[None, :]
-    cz = start[:, 2:3] + offs[None, :]
-    inx = cx < end[:, 0:1]
-    iny = cy < end[:, 1:2]
-    inz = cz < end[:, 2:3]
+    # Footprint enumeration kept FLAT (n, f^3): TPU tiling pads the minor
+    # two dims of every array to (8, 128)-multiples, so an (n, f, f, f)
+    # or (n, ..., 3) temporary inflates 8-42x (observed: the rank-5
+    # (1M, 4, 4, 4, 3) form plans a 32 GB allocation at 4M photons). With
+    # minor dim f^3 = 64 the padding is only 2x.
+    f3 = f * f * f
+    oz = jnp.arange(f3, dtype=jnp.int32) // (f * f)  # (f^3,) z-major
+    oy = (jnp.arange(f3, dtype=jnp.int32) // f) % f
+    ox = jnp.arange(f3, dtype=jnp.int32) % f
+    cx = start[:, 0:1] + ox[None, :]  # (n, f^3)
+    cy = start[:, 1:2] + oy[None, :]
+    cz = start[:, 2:3] + oz[None, :]
+    inside = ((cx < end[:, 0:1]) & (cy < end[:, 1:2]) & (cz < end[:, 2:3])
+              & valid[:, None])
 
-    # Voxel-center texture coordinates per axis (indexToTexture).
-    tx = (cx.astype(jnp.float32) + 0.5) / w
-    ty = (cy.astype(jnp.float32) + 0.5) / h
-    tz = (cz.astype(jnp.float32) + 0.5) / d
-
-    dx = tx - positions[:, 0:1]
-    dy = ty - positions[:, 1:2]
-    dz = tz - positions[:, 2:3]
-    # (n, f, f, f) squared distances, z-major to match [z][y][x] layout
-    d2 = (dz[:, :, None, None] ** 2 + dy[:, None, :, None] ** 2
-          + dx[:, None, None, :] ** 2)
-    weight = epanechnikov(jnp.sqrt(d2) / r)
-    inside = (inz[:, :, None, None] & iny[:, None, :, None]
-              & inx[:, None, None, :] & valid[:, None, None, None])
+    # Voxel-center texture coordinates (indexToTexture).
+    dx = (cx.astype(jnp.float32) + 0.5) / w - positions[:, 0:1]
+    dy = (cy.astype(jnp.float32) + 0.5) / h - positions[:, 1:2]
+    dz = (cz.astype(jnp.float32) + 0.5) / d - positions[:, 2:3]
+    weight = epanechnikov(jnp.sqrt(dx * dx + dy * dy + dz * dz) / r)
     weight = jnp.where(inside, weight, 0.0)
 
-    cell = (cz[:, :, None, None] * (w * h) + cy[:, None, :, None] * w
-            + cx[:, None, None, :])
+    cell = cz * (w * h) + cy * w + cx
     cell = jnp.where(inside, cell, d * h * w)  # OOB -> dropped
 
     scaled_pow = powers * scale  # (n, 3)
-    # Single rank-1 scatter-add with channels folded into the index.
-    # Honest v5e rates (round 4, per-rep host-readback sync): rank-1
-    # 0.079 G adds/s, (V, 3) row scatter 0.090 G adds/s — round 2's
-    # "14 G fast path" was a benchmark-sync artifact; XLA scatter costs
-    # ~per element either way, which is why the DEFAULT splat path is the
-    # MXU matmul formulation (pallas/splat_mxu.py) and this exact radial
-    # scatter is the reference-parity oracle.
-    contrib = weight[..., None] * scaled_pow[:, None, None, None, :]
-    cell3 = cell[..., None] * 3 + jnp.arange(3, dtype=jnp.int32)
+    # Single rank-1 scatter-add with channels folded into the index; the
+    # channel axis sits in the MIDDLE, (n, 3, f^3), so no big array ends
+    # in a 3-wide minor dim. Honest v5e rates (round 4, per-rep
+    # host-readback sync): rank-1 0.079 G adds/s, (V, 3) row scatter
+    # 0.090 G adds/s — round 2's "14 G fast path" was a benchmark-sync
+    # artifact; XLA scatter costs ~per element either way, which is why
+    # the DEFAULT splat path is the MXU matmul formulation
+    # (pallas/splat_mxu.py) and this exact radial scatter is the
+    # reference-parity oracle.
+    contrib = weight[:, None, :] * scaled_pow[:, :, None]  # (n, 3, f^3)
+    cell3 = (cell[:, None, :] * 3
+             + jnp.arange(3, dtype=jnp.int32)[None, :, None])
     g = jnp.zeros((d * h * w * 3 + 3,), jnp.float32)
     g = g.at[cell3.reshape(-1)].add(contrib.reshape(-1), mode="drop")
     return g[:d * h * w * 3].reshape(d, h, w, 3)
@@ -153,7 +152,7 @@ def _dispatch(method: str, pos: Array, pow_: Array, valid: Array,
     """Route a flat photon list to a splat backend.
 
     - "scatter": exact radial-Epanechnikov scatter-add (reference parity,
-      oracle-tested) — slow on TPU (XLA scatter ~150 M adds/s).
+      oracle-tested) — slow on TPU (XLA scatter ~0.08 G adds/s honest).
     - "matmul":  separable product-Epanechnikov dense contraction (XLA).
     - "pallas" / "pallas_interpret": the MXU kernel twin of "matmul".
     The product paths scale powers by PRODUCT_KERNEL_MATCH so both kernels
@@ -162,28 +161,8 @@ def _dispatch(method: str, pos: Array, pow_: Array, valid: Array,
     if method == "auto":
         method = default_method()
     if method == "scatter":
-        # Bound the (chunk, f^3, 3) weight temporaries: at 4M photons x 4
-        # interactions the unchunked scatter materializes ~13 GB and OOMs
-        # (BASELINE config 5). The accumulator chain serializes chunks, so
-        # peak temp memory is one chunk's worth.
-        chunk = 1 << 20
-        n = pos.shape[0]
-        if n <= chunk:
-            return _splat_flat(pos, pow_, valid, radius_rel, scale, out_dim,
-                               footprint)
-        n_chunks = -(-n // chunk)
-        pad = n_chunks * chunk - n
-        if pad:
-            pos = jnp.concatenate([pos, jnp.full((pad, 3), 1e30)])
-            pow_ = jnp.concatenate([pow_, jnp.zeros((pad, 3))])
-            valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
-        acc = None
-        for i in range(n_chunks):
-            sl = slice(i * chunk, (i + 1) * chunk)
-            g = _splat_flat(pos[sl], pow_[sl], valid[sl], radius_rel, scale,
-                            out_dim, footprint)
-            acc = g if acc is None else acc + g
-        return acc
+        return _splat_flat(pos, pow_, valid, radius_rel, scale, out_dim,
+                           footprint)
     pw = (pow_ * (scale * jnp.float32(PRODUCT_KERNEL_MATCH))
           * valid[:, None].astype(jnp.float32))
     if method == "matmul":
@@ -218,6 +197,46 @@ def splat_all(photons: PhotonData, out_dim: tuple, footprint: int = 4,
                                          photons.radius_rel))
     return _dispatch(method, pos, pow_, valid, photons.radius_rel, scale,
                      out_dim, footprint)
+
+
+def splat_all_chunked(photons: PhotonData, out_dim: tuple,
+                      footprint: int = 4, n_total: int | None = None,
+                      method: str = "scatter",
+                      chunk: int = 1 << 20) -> Array:
+    """Out-of-jit chunked full splat for BASELINE-config-5 scale.
+
+    At 4M photons x 4 interactions the monolithic scatter's (M, f^3, 3)
+    weight temporaries total ~13 GB, and in-jit chunk loops do not help:
+    XLA's memory planner live-ranges every chunk's temporaries regardless
+    of accumulator data dependencies (observed 32 GB allocation plans even
+    with optimization_barrier chaining). Separate dispatches bound peak
+    memory to one chunk. Identical math to :func:`splat_all`.
+    """
+    i, n, _ = photons.positions.shape
+    pos = photons.positions.reshape(i * n, 3)
+    pow_ = photons.powers.reshape(i * n, 3)
+    scale = (jnp.float32(constants.ISOTROPIC_PHASE)
+             * relative_irradiance_scale(n_total if n_total is not None else n,
+                                         photons.radius_rel))
+    m = i * n
+    acc = None
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        p_c = pos[lo:hi].astype(jnp.float32)
+        w_c = pow_[lo:hi].astype(jnp.float32)
+        g = _splat_chunk_jit(p_c, w_c, photons.radius_rel, scale, out_dim,
+                             footprint, method)
+        acc = g if acc is None else acc + g
+    return acc
+
+
+@partial(jax.jit, static_argnames=("out_dim", "footprint", "method"))
+def _splat_chunk_jit(pos: Array, pow_: Array, radius_rel: Array,
+                     scale: Array, out_dim: tuple, footprint: int,
+                     method: str) -> Array:
+    valid = pos[:, 0] < 1e30
+    return _dispatch(method, pos, pow_, valid, radius_rel, scale, out_dim,
+                     footprint)
 
 
 @partial(jax.jit, static_argnames=("out_dim", "footprint", "method"))

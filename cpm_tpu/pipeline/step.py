@@ -313,7 +313,15 @@ def correlated_step(scene: Scene, state: PhotonMapState,
     def _full(_):
         return splat.splat_all(merged, dim, fp, method=method)
 
-    lv = jax.lax.cond(n_changed >= threshold, _full, _incremental, None)
+    # n_changed <= budget statically, so when the budget can never reach
+    # the full-resplat threshold the cond's full branch is unreachable —
+    # skip compiling it. (At 4M photons the full-branch scatter's
+    # temporaries OOM the compile-time memory plan even though the branch
+    # would never execute.)
+    if budget < int(config.splat.incremental_threshold * photons.n):
+        lv = _incremental(None)
+    else:
+        lv = jax.lax.cond(n_changed >= threshold, _full, _incremental, None)
 
     drop_invalid = jnp.where(valid, indices, photons.n)
     retraced = state.retraced.at[drop_invalid].set(True, mode="drop")
