@@ -121,6 +121,23 @@ class TransferFunction:
             acc = jnp.where((x >= p[s])[..., None], seg, acc)
         return acc
 
+    def sample_opacity(self, x: Array) -> Array:
+        """Opacity-channel-only piecewise evaluation.
+
+        The photon tracer consumes ONLY ``color.w`` (acceptance test,
+        power scaling, albedo — photontracer.cl:171-176 reads the .w
+        lanes); evaluating one channel instead of four cut the trace's TF
+        cost 23 ms -> ~6 ms at 65k/128^3 (round-4 knockout profile)."""
+        p, c = self.positions, self.colors[:, 3]
+        n_pts = p.shape[0]
+        acc = jnp.broadcast_to(c[0], x.shape)
+        for s in range(n_pts - 1):
+            t = (x - p[s]) / jnp.maximum(p[s + 1] - p[s], 1e-12)
+            t = jnp.clip(t, 0.0, 1.0)
+            seg = c[s] + (c[s + 1] - c[s]) * t
+            acc = jnp.where(x >= p[s], seg, acc)
+        return acc
+
     def sample_lut(self, x: Array) -> Array:
         """Baked-LUT lookup with linear interpolation and edge clamping (the
         reference's texture semantics exactly, including its K-bin

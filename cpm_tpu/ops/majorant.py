@@ -60,10 +60,12 @@ def opacity_range_max(tf: TransferFunction, lo: Array, hi: Array) -> Array:
     return m
 
 
-def dilate_min_max(mins: Array, maxs: Array) -> tuple[Array, Array]:
-    """3^3 stride-1 min/max pooling: bounds valid for trilinear samples up to
-    one cell past the border."""
-    window = (3, 3, 3)
+def dilate_min_max(mins: Array, maxs: Array,
+                   rings: int = 1) -> tuple[Array, Array]:
+    """(2*rings+1)^3 stride-1 min/max pooling: bounds valid for trilinear
+    samples up to ``rings`` cells past the border (must match the tracer's
+    block-exit ring)."""
+    window = (2 * rings + 1,) * 3
     strides = (1, 1, 1)
     mins_d = -jax.lax.reduce_window(-mins, jnp.float32(-jnp.inf), jax.lax.max,
                                     window, strides, "SAME")
@@ -72,16 +74,17 @@ def dilate_min_max(mins: Array, maxs: Array) -> tuple[Array, Array]:
     return mins_d, maxs_d
 
 
-@partial(jax.jit, static_argnames=("cell_size",))
+@partial(jax.jit, static_argnames=("cell_size", "rings"))
 def build_majorant_grid(volume: Volume, tf: TransferFunction,
-                        cell_size: int = 8) -> Array:
+                        cell_size: int = 8, rings: int = 1) -> Array:
     """(gz, gy, gx) per-cell majorant OPACITY (multiply by
     SAMPLING_BASE_INTERVAL_RCP for extinction): max TF opacity over the
-    dilated per-cell data range. Zero cells are skippable empty space."""
+    ``rings``-cell-dilated per-cell data range. Zero cells are skippable
+    empty space."""
     from cpm_tpu.ops import minmax as minmax_mod
 
     mm = minmax_mod.volume_min_max(volume, cell_size)
-    mins, maxs = dilate_min_max(mm.data[..., 0], mm.data[..., 1])
+    mins, maxs = dilate_min_max(mm.data[..., 0], mm.data[..., 1], rings)
     return jnp.maximum(opacity_range_max(tf, mins, maxs), 0.0)
 
 
@@ -96,3 +99,49 @@ def cell_exit_distance(origin: Array, direction: Array, cell: Array,
     t_face = jnp.where(jnp.abs(direction) > 1e-12,
                        (face - origin) / direction, jnp.inf)
     return jnp.min(t_face, axis=-1)
+
+
+def block_exit_distance(origin: Array, direction: Array, cell: Array,
+                        cell_ext: Array, ring: int = 1) -> Array:
+    """Ray parameter t at which the ray exits the (2*ring+1)^3 cell BLOCK
+    centered on ``cell``. The per-cell majorant is computed over the
+    3^3-dilated data range (:func:`dilate_min_max`), so it legally bounds
+    the whole ring-1 block — clamping free flights at the block exit
+    instead of the single-cell exit cuts boundary-clamp null events ~3x
+    per axis (the dominant iteration count in thin-but-nonzero regions,
+    round-4 measurement)."""
+    c = cell.astype(jnp.float32)
+    face = jnp.where(direction > 0.0,
+                     (c + 1.0 + ring) * cell_ext,
+                     (c - ring) * cell_ext)
+    t_face = jnp.where(jnp.abs(direction) > 1e-12,
+                       (face - origin) / direction, jnp.inf)
+    return jnp.min(t_face, axis=-1)
+
+
+def empty_distance_grid(maj: Array) -> Array:
+    """Chebyshev distance (in cells) from each cell to the nearest cell
+    with a nonzero majorant, ERODED by one cell (a 3^3 min-pool) so that
+    reading a +-1-cell-misquantized neighbor's value stays conservative:
+    D_use(c') = min over N(c') of D and c is in N(c'), hence
+    D_use(c') <= D(c).
+
+    The classic empty-space-skipping distance map (the reference sketches
+    only single-cell skipping, transmittance.cl:267-283): a lane inside an
+    empty cell may advance (D_use - 1) * min-cell-extent in one wavefront
+    iteration instead of crawling one cell per iteration — the dominant
+    iteration count on mostly-empty volumes.
+    """
+    gz, gy, gx = maj.shape
+    big = jnp.float32(gx + gy + gz + 2)
+    d = jnp.where(maj > 0.0, 0.0, big)
+
+    def min3(x):
+        return -jax.lax.reduce_window(
+            -x, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+
+    def body(_, x):
+        return jnp.minimum(x, min3(x) + 1.0)
+
+    d = jax.lax.fori_loop(0, max(gz, gy, gx), body, d)
+    return min3(d)  # erosion for brick-quantization safety

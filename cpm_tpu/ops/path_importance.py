@@ -99,10 +99,11 @@ def grid_segment_integral(grid: Array, x1: Array, x2: Array, cell_dim: Array,
     return acc * length
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
+@partial(jax.jit, static_argnames=("max_steps", "mode", "n_samples"))
 def photon_path_importance(importance_grid: UniformGrid3D,
                            photons: PhotonData, light_samples: LightSamples,
-                           max_steps: int = 96) -> Array:
+                           max_steps: int = 96, mode: str = "dda",
+                           n_samples: int = 8) -> Array:
     """Per-light-sample recomputation importance
     (photonRecomputationDetectorKernel, cl:92-157).
 
@@ -159,7 +160,11 @@ def photon_path_importance(importance_grid: UniformGrid3D,
     x2 = e2 * vol_dim
     x1 = jnp.where(sv[:, None], x1, 0.0)
     x2 = jnp.where(sv[:, None], x2, 0.0)
-    seg_imp = grid_segment_integral(grid, x1, x2, cell_dim, max_steps)
+    if mode == "quadrature":
+        seg_imp = grid_segment_integral_quadrature(grid, x1, x2, cell_dim,
+                                                   n_samples)
+    else:
+        seg_imp = grid_segment_integral(grid, x1, x2, cell_dim, max_steps)
     seg_imp = jnp.where(sv, seg_imp, 0.0)
     return jnp.sum(seg_imp.reshape(i_max, n), axis=0)
 
@@ -171,3 +176,32 @@ def equal_importance(n: int, iteration: Array, percentage: int) -> Array:
     period = jnp.maximum(100 // percentage, 1)
     ids = jnp.arange(n, dtype=jnp.int32)
     return jnp.where((ids + iteration) % period == 0, 1.0, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def grid_segment_integral_quadrature(grid: Array, x1: Array, x2: Array,
+                                     cell_dim: Array,
+                                     n_samples: int = 8) -> Array:
+    """Midpoint-quadrature approximation of :func:`grid_segment_integral`.
+
+    The exact Amanatides-Woo DDA spends one gather per (iteration,
+    segment) — 64 x segments = 16.8M gathers = ~210 ms per correlated
+    frame at 65k photons (measured round 4; gathers cost ~0.11 G/s
+    regardless of table size). The importance only feeds a RANKING, so a
+    fixed-K midpoint rule over the piecewise-constant grid is an adequate
+    estimator at 1/8th the gathers; cells thinner than |seg|/K can be
+    missed — use the DDA mode when exact drain coverage matters more than
+    latency (config.recompute.importance_mode).
+    """
+    gz, gy, gx = grid.shape
+    max_cells = jnp.array([gx, gy, gz], jnp.float32)
+    ts = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
+    # (K, M, 3) sample points in voxel coords -> cell indices
+    p = x1[None, :, :] + ts[:, None, None] * (x2 - x1)[None, :, :]
+    c = jnp.clip(jnp.floor(p / cell_dim), 0.0, max_cells - 1.0
+                 ).astype(jnp.int32)
+    flat = grid.reshape(-1)
+    idx = (c[..., 2] * gy + c[..., 1]) * gx + c[..., 0]
+    vals = flat[idx]  # (K, M)
+    length = jnp.linalg.norm(x2 - x1, axis=-1)
+    return jnp.mean(vals, axis=0) * length

@@ -157,8 +157,9 @@ def brick_slots(scale: int) -> int:
 
 
 def brick_width(scale: int) -> int:
-    """Row width: corner slots + majorant column, padded to a multiple of 8."""
-    return ((brick_slots(scale) + 1 + 7) // 8) * 8
+    """Row width: corner slots + extra columns (majorant, skip distance),
+    padded to a multiple of 8."""
+    return ((brick_slots(scale) + 2 + 7) // 8) * 8
 
 
 def pack_bricks(data: Array, extra: Array | None = None,
@@ -210,11 +211,14 @@ def pack_bricks(data: Array, extra: Array | None = None,
             for sc in (0, 1):
                 bc = shift(bb, 2, 5) if sc else bb
                 groups.append(bc.reshape(d2, h2, w2, k ** 3))
-    if extra is not None:
-        xtr = extra[::k, ::k, ::k][:d2, :h2, :w2, None]
-    else:
-        xtr = jnp.zeros((d2, h2, w2, 1), data.dtype)
-    pad = jnp.zeros((d2, h2, w2, brick_width(k) - brick_slots(k) - 1),
+    if extra is None:
+        extra = jnp.zeros(data.shape + (1,), data.dtype)
+    elif extra.ndim == 3:
+        extra = extra[..., None]
+    n_extra = extra.shape[-1]
+    assert brick_slots(k) + n_extra <= brick_width(k), (n_extra, k)
+    xtr = extra[::k, ::k, ::k][:d2, :h2, :w2, :]
+    pad = jnp.zeros((d2, h2, w2, brick_width(k) - brick_slots(k) - n_extra),
                     data.dtype)
     return jnp.concatenate(groups + [xtr, pad], axis=-1).reshape(
         d2 * h2 * w2, brick_width(k))

@@ -92,6 +92,7 @@ class _TraceState(NamedTuple):
     absorbed: Array  # (w,) bool
     first_done: Array  # (w,) bool — pre-scatter done (no_single_scattering)
     maj_carry: Array  # (w,) local majorant for the lane's current cell
+    dist_carry: Array  # (w,) empty-space skip distance (cells) at the cell
     slots: Array  # (w,) int32 output row (original position in [0, N))
     lane_ids: Array  # (w,) int32 RNG stream id (global photon id)
     out_pos: Array  # (w, I, 3)
@@ -143,7 +144,7 @@ def trace_photons(volume: Volume, tf: TransferFunction,
 
     if config.use_majorant_grid:
         maj = majorant_mod.build_majorant_grid(
-            volume, tf, config.majorant_cell_size)
+            volume, tf, config.majorant_cell_size, config.block_ring)
     else:
         maj = jnp.full((1, 1, 1), jnp.float32(1.0))
     gz, gy, gx = maj.shape
@@ -161,13 +162,26 @@ def trace_photons(volume: Volume, tf: TransferFunction,
     vol_shape = volume.data.shape
     d_, h_, w_ = vol_shape
     reps = [-(-s // g) for s, g in ((d_, gz), (h_, gy), (w_, gx))]
-    maj_vox = jnp.repeat(jnp.repeat(jnp.repeat(
-        maj, reps[0], 0), reps[1], 1), reps[2], 2)[:d_, :h_, :w_]
+    dist = majorant_mod.empty_distance_grid(maj)
+    # Texture-space length of one safely skippable cell (min over axes).
+    cell_min_ext = jnp.float32(1.0) / jnp.max(gdim)
+
+    def upsample(g):
+        return jnp.repeat(jnp.repeat(jnp.repeat(
+            g, reps[0], 0), reps[1], 1), reps[2], 2)[:d_, :h_, :w_]
+
+    maj_vox = upsample(maj)
+    dist_vox = upsample(dist)
+    vdims = jnp.array([w_, h_, d_], jnp.float32)  # voxels (x, y, z)
+    cell_vox = jnp.int32(config.majorant_cell_size)
+    cell_ext = cell_vox.astype(jnp.float32) / vdims  # cell extent, texture
     scale = config.brick_scale
     assert config.majorant_cell_size >= scale, (
         "majorant dilation (+-1 cell) must cover the brick base-voxel "
         "quantization (brick_scale voxels)")
-    packed = pack_bricks(volume.data, maj_vox, scale=scale)
+    packed = pack_bricks(volume.data,
+                         jnp.stack([maj_vox, dist_vox], axis=-1),
+                         scale=scale)
     n_slots = brick_slots(scale)
     dim_max = max(volume.data.shape)
     step_size = jnp.float32(1.0 / (config.sampling_rate * dim_max))
@@ -204,6 +218,7 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         absorbed=jnp.zeros(n, bool),
         first_done=jnp.full(n, not config.no_single_scattering),
         maj_carry=jnp.full((n,), maj_global),
+        dist_carry=jnp.zeros((n,), jnp.float32),
         slots=jnp.arange(n, dtype=jnp.int32),
         lane_ids=lane_ids,
         out_pos=jnp.full((n, max_i, 3), big),
@@ -221,10 +236,17 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         # clamped to the current cell, whose (dilated, hence conservative
         # for the <=1-voxel row-quantization) majorant that is.
         p_cur = s.pos + s.t[:, None] * s.dir
-        cell = jnp.clip(jnp.floor(p_cur * gdim), 0.0, gdim - 1.0
-                        ).astype(jnp.int32)
+        # Cell index derived through the SAME voxel quantization as the
+        # brick fetch that produced maj_carry (clip(p*dim - 0.5) floored,
+        # then voxel // cell_size == brick_base // cell_size because the
+        # cell size is a multiple of the brick scale) — so the 3^3-dilated
+        # majorant bound provably covers this cell's ring-1 block exit.
+        vox = jnp.clip(p_cur * vdims - 0.5, 0.0, vdims - 1.0)
+        cell = jnp.floor(vox).astype(jnp.int32) // cell_vox
         maj_op = s.maj_carry
-        t_cell = majorant_mod.cell_exit_distance(s.pos, s.dir, cell, gdim)
+        t_cell = majorant_mod.block_exit_distance(s.pos, s.dir, cell,
+                                                  cell_ext,
+                                                  ring=config.block_ring)
         t_cell = jnp.maximum(t_cell, s.t)
 
         dt = -jnp.log(jnp.maximum(u[:, 0], 1e-12)) / jnp.maximum(
@@ -232,18 +254,25 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         t_tent = s.t + dt
         # Null event: empty cell or flight crossing the cell boundary —
         # clamp to the boundary and resample next iteration (memoryless).
+        # Empty cells additionally jump (D-1) cells via the eroded
+        # chebyshev distance map (majorant.empty_distance_grid): crawling
+        # one empty cell per iteration dominated the wavefront iteration
+        # count on mostly-empty volumes.
         skip = (maj_op <= 0.0) | (t_tent > t_cell)
-        t_new = jnp.where(skip, t_cell + _BOUNDARY_EPS, t_tent)
+        t_jump = s.t + jnp.maximum(s.dist_carry - 1.0, 0.0) * cell_min_ext
+        t_clamp = jnp.where(maj_op <= 0.0, jnp.maximum(t_cell, t_jump),
+                            t_cell)
+        t_new = jnp.where(skip, t_clamp + _BOUNDARY_EPS, t_tent)
         exited = t_new > s.t_end
 
         p = s.pos + t_new[:, None] * s.dir
         idx, local = brick_row_index(vol_shape, p, scale)
-        rows = packed[idx]  # (w, brick_width): corner slots + majorant
+        rows = packed[idx]  # (w, brick_width): corners + majorant + dist
         vol_sample = jnp.sum(
             rows[:, :n_slots] * brick_weights(local, scale), axis=-1)
         maj_at_p = rows[:, n_slots]
-        color = tf.sample(vol_sample)  # (N, 4)
-        opacity = color[:, 3]
+        dist_at_p = rows[:, n_slots + 1]
+        opacity = tf.sample_opacity(vol_sample)  # (N,)
         # Acceptance against the LOCAL majorant: P = sigma(x) / sigma_maj.
         accept = u[:, 1] * maj_op < opacity
         collide = s.active & ~exited & ~skip & accept
@@ -256,8 +285,8 @@ def trace_photons(volume: Volume, tf: TransferFunction,
             interact = collide
 
         # --- interaction (photontracer.cl:158-197) ---
-        scattering = tf_scattering.sample(vol_sample)
-        albedo = scattering[:, 3] / jnp.maximum(scattering[:, 3] + opacity, 1e-8)
+        scat_w = tf_scattering.sample_opacity(vol_sample)
+        albedo = scat_w / jnp.maximum(scat_w + opacity, 1e-8)
         power_in = s.power / jnp.maximum(opacity, 0.01)[:, None]
         n_int_new = s.n_int + 1
         do_scatter = interact & (n_int_new < max_i) & (u[:, 2] < albedo)
@@ -316,6 +345,7 @@ def trace_photons(volume: Volume, tf: TransferFunction,
             # cell than p — fall back to the global majorant for one
             # iteration; everywhere else the next p_cur equals p exactly.
             maj_carry=jnp.where(change_dir, maj_global, maj_at_p),
+            dist_carry=jnp.where(change_dir, 0.0, dist_at_p),
             slots=s.slots,
             lane_ids=s.lane_ids,
             out_pos=out_pos,
@@ -356,12 +386,26 @@ def trace_photons(volume: Volume, tf: TransferFunction,
             t_end=take(s.t_end), power=take(s.power), n_int=take(s.n_int),
             active=take(s.active), absorbed=take(s.absorbed),
             first_done=take(s.first_done), maj_carry=take(s.maj_carry),
+            dist_carry=take(s.dist_carry),
             slots=take(s.slots),
             lane_ids=take(s.lane_ids), out_pos=take(s.out_pos),
             out_pow=take(s.out_pow), out_dir=take(s.out_dir))
 
     widths = _stage_widths(n, config.use_compaction)
     state = init
+
+    # K flights per while-loop iteration: each loop step on this backend
+    # carries a fixed dispatch cost (~0.3 ms) that dominates the narrow
+    # tail stages; unrolling K substeps amortizes it. Substeps draw fresh
+    # RNG (keyed by the advancing global step), so results are identical
+    # across widths/chunks for a fixed K but differ between K values.
+    k_unroll = max(1, config.flights_per_iteration)
+
+    def body_outer(s: _TraceState) -> _TraceState:
+        for _ in range(k_unroll):
+            s = body(s)
+        return s
+
     for si, w in enumerate(widths):
         threshold = widths[si + 1] if si + 1 < len(widths) else 0
 
@@ -371,7 +415,7 @@ def trace_photons(volume: Volume, tf: TransferFunction,
                 alive &= jnp.sum(s.active.astype(jnp.int32)) > threshold
             return alive
 
-        state = jax.lax.while_loop(cond, body, state)
+        state = jax.lax.while_loop(cond, body_outer, state)
         res = flush(res, state)
         if threshold:
             state = narrow(state, threshold)

@@ -215,6 +215,34 @@ def progressive_step(scene: Scene, state: PhotonMapState,
 # Correlated selective recomputation
 # ---------------------------------------------------------------------------
 
+def recompute_importance(config: PipelineConfig,
+                         importance_grid: UniformGrid3D,
+                         photons: PhotonData,
+                         light_samples: LightSamples) -> Array:
+    """The per-photon importance the correlated step ranks by.
+
+    The grid is first dilated by the tracer's majorant ring: with
+    macrocell majorants a trajectory depends on data up to ``block_ring``
+    cells BESIDE its path (the dilated bound changes the clamp/accept
+    points and hence the RNG consumption), so a change one cell away from
+    a path must flag it too. Matching the two radii restores the
+    exact-coverage property the reference gets for free from its
+    volume-independent global majorant (at the cost of a one-cell-fattened
+    flagged set).
+    """
+    r = config.tracer.block_ring
+    win = (2 * r + 1,) * 3
+    dilated = jax.lax.reduce_window(
+        importance_grid.data, -jnp.inf, jax.lax.max, win, (1, 1, 1), "SAME")
+    ig = UniformGrid3D(data=dilated, cell_dim=importance_grid.cell_dim,
+                       volume_dim=importance_grid.volume_dim)
+    return path_importance.photon_path_importance(
+        ig, photons, light_samples,
+        max_steps=config.recompute.importance_steps,
+        mode=config.recompute.importance_mode,
+        n_samples=config.recompute.importance_quadrature_samples)
+
+
 def recompute_budget(config: PipelineConfig, n_photons: int) -> int:
     """Static retrace batch size: maxPhotonsPerUpdate% of the photon count
     (progressivephotontracercl.cpp:374-388), rounded up to a lane-friendly
@@ -264,9 +292,8 @@ def correlated_step(scene: Scene, state: PhotonMapState,
             photons.n, state.recompute_phase,
             config.recompute.equal_importance_percentage)
     else:
-        imp = path_importance.photon_path_importance(
-            importance_grid, photons, state.light_samples,
-            max_steps=config.recompute.importance_steps)
+        imp = recompute_importance(config, importance_grid, photons,
+                                   state.light_samples)
 
     # -- threshold + sort + budget (cpp:327-419), excluding photons already
     #    retraced this round

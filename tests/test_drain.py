@@ -40,9 +40,8 @@ class TestMultiBatchDrain:
         # Real, non-uniform importance: the sphere cells score high, the
         # empty border zero — many photons flagged, many not.
         ig = pstep.build_importance_grid(scene, cfg)
-        imp0 = np.asarray(path_importance.photon_path_importance(
-            ig, st.photons, st.light_samples,
-            max_steps=cfg.recompute.importance_steps))
+        imp0 = np.asarray(pstep.recompute_importance(
+            cfg, ig, st.photons, st.light_samples))
         n_flagged = int((imp0 > 0).sum())
         assert 0 < n_flagged  # non-trivial workload
         budget = pstep.recompute_budget(cfg, st.photons.n)
