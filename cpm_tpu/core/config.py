@@ -57,6 +57,12 @@ class TracerConfig:
     # rings trade fewer boundary-clamp null events against looser (more
     # rejected) majorants near density boundaries.
     block_ring: int = 1
+    # Max empty-space jump length in macrocells. Bounds the nonlocal data
+    # dependence of trajectories (ADVICE round 4): an empty-cell lane's
+    # jump reads the capped Chebyshev distance map, so its RNG phase
+    # depends only on majorant values within (empty_jump_cap + 1) cells.
+    # recompute.exact_coverage dilates the importance grid to match.
+    empty_jump_cap: int = 6
     # Voxels per packed-brick axis for the hot-loop volume fetch
     # (ops/sampling.py:pack_bricks). Measured at 128^3/65k photons: scale 2
     # (2^18 rows, 72-wide) 79.6 ms/trace vs scale 4 (2^15 rows, 520-wide)
@@ -68,9 +74,13 @@ class TracerConfig:
     # (lane_id, global step), not buffer position.
     use_compaction: bool = True
     # Woodcock flight attempts unrolled per while-loop iteration: amortizes
-    # the fixed per-iteration dispatch cost. Bit-identical results for any
-    # value (each substep advances the same (lane, step)-keyed RNG
-    # counter); measured ~5% at 65k/128^3 for K=2-4.
+    # the fixed per-iteration dispatch cost. For a FIXED K, results are
+    # bit-identical across wavefront widths/chunks (each substep advances
+    # the same (lane, step)-keyed RNG counter), but results may DIFFER
+    # between K values: the loop condition is only re-evaluated per
+    # K-group, so lanes can take up to K-1 extra keyed flights past the
+    # max_steps/plateau exit (tracer.py:401). Measured ~5% at 65k/128^3
+    # for K=2-4.
     flights_per_iteration: int = 2
 
 
@@ -106,6 +116,15 @@ class RecomputeConfig:
     # missed, required for exact drain coverage.
     importance_mode: str = "quadrature"
     importance_quadrature_samples: int = 8
+    # Dilate the importance grid by the tracer's FULL data-influence radius
+    # (block_ring + empty_jump_cap + 1) instead of just block_ring, so that
+    # any photon whose RNG phase could shift under the edit — including via
+    # the capped empty-space distance map — is flagged. Combined with
+    # importance_mode="dda" this restores exact drain coverage; the default
+    # (False, block_ring only) is a deliberate approximation that keeps
+    # selection selective (a full-influence dilation flags most of the grid
+    # for small grids). See ops/majorant.py:empty_distance_grid.
+    exact_coverage: bool = False
 
 
 @dataclass(frozen=True)

@@ -10,8 +10,8 @@ the reference, which retraces from scratch on load.
 
 Format: a single ``.npz`` with flattened pytree leaves keyed by tree path
 plus a JSON header of the configs. Loads reconstruct the dataclass configs
-and the state pytree; an optional Scene payload round-trips the volume/TF/
-lights/camera.
+and the state pytree. (Scene content — volume, TFs, lights, camera — is
+not part of the checkpoint; persist volumes with ``cpm_tpu.io.u3d``.)
 """
 
 from __future__ import annotations
@@ -47,9 +47,16 @@ def _config_from_dict(cls, d: dict):
                   for k, v in d.items() if k in names})
 
 
+def _normalize(path: str) -> str:
+    """np.savez appends '.npz' to extension-less paths; normalize so
+    save/load agree on the on-disk name (ADVICE round 4)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, state: PhotonMapState,
                     config: config_mod.PipelineConfig) -> None:
-    """Write state + config to ``path`` (.npz)."""
+    """Write state + config to ``path`` (.npz appended if missing)."""
+    path = _normalize(path)
     leaves, _ = _flatten_state(state)
     arrays = {f"leaf_{i:03d}": np.asarray(x) for i, x in enumerate(leaves)}
     header = {
@@ -73,7 +80,7 @@ def save_checkpoint(path: str, state: PhotonMapState,
 def load_checkpoint(path: str):
     """Read (state, config) back; the state leaves land on the default
     device with their saved dtypes."""
-    with np.load(path) as z:
+    with np.load(_normalize(path)) as z:
         header = json.loads(bytes(z[_HEADER_KEY].tobytes()).decode())
         if header["version"] != _FORMAT_VERSION:
             raise ValueError(f"unknown checkpoint version {header['version']}")

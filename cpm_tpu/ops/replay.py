@@ -29,6 +29,12 @@ bias, documented in tests/test_grad.py).
 Forward equality: replayed powers == the tracer's stored powers bit-for-
 float (tested), so substituting them into the splat changes nothing at
 the primal point.
+
+Limitation (ADVICE round 4): ``no_single_scattering`` traces apply a
+1/phase-pdf factor and an opacity/albedo chain step at a FIRST event whose
+position is never stored, so the power chain cannot be replayed from the
+photon map alone — :func:`replay_powers` raises on such configs rather
+than silently diverging by ~4pi per photon.
 """
 
 from __future__ import annotations
@@ -46,17 +52,27 @@ from cpm_tpu.ops.sampling import sample_volume_trilinear
 Array = jnp.ndarray
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("no_single_scattering",))
 def replay_powers(volume: Volume, tf: TransferFunction,
                   tf_scattering: TransferFunction, photons: PhotonData,
-                  light_samples: LightSamples) -> Array:
+                  light_samples: LightSamples,
+                  no_single_scattering: bool = False) -> Array:
     """Recompute the (I, N, 3) deposited powers differentiably.
 
     Positions are detached inside; ``volume.data``, both TFs' colors and
     ``light_samples.powers`` flow gradients. Only valid interaction slots
     (position sentinel < FLT_MAX) produce nonzero output; others return
     the tracer's zero fill.
+
+    Pass the tracer's ``no_single_scattering`` flag: such traces are not
+    replayable (see module docstring) and raise here.
     """
+    if no_single_scattering:
+        raise NotImplementedError(
+            "replay_powers cannot reconstruct the power chain of "
+            "no_single_scattering traces: the first event's position (and "
+            "hence its opacity/albedo factors) is not stored in the photon "
+            "map (photontracer.cl:143-157 under -D NO_SINGLE_SCATTERING)")
     max_i, n = photons.positions.shape[:2]
     pos = jax.lax.stop_gradient(photons.positions)  # (I, N, 3)
     valid = pos[..., 0] < 1e30  # (I, N)
@@ -91,7 +107,9 @@ def replay_powers(volume: Volume, tf: TransferFunction,
 
 def replay_photons(volume: Volume, tf: TransferFunction,
                    tf_scattering: TransferFunction, photons: PhotonData,
-                   light_samples: LightSamples) -> PhotonData:
+                   light_samples: LightSamples,
+                   no_single_scattering: bool = False) -> PhotonData:
     """``photons`` with powers replaced by the differentiable replay."""
     return photons.replace(powers=replay_powers(
-        volume, tf, tf_scattering, photons, light_samples))
+        volume, tf, tf_scattering, photons, light_samples,
+        no_single_scattering=no_single_scattering))

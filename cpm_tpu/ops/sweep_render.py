@@ -52,11 +52,12 @@ replicated, one all-gather assembles the intermediate, and each device
 warps its own screen-pixel shard (cpm_tpu.parallel.sharding.
 sharded_sweep_render).
 
-Limitations (documented, asserted where cheap): the eye must be outside
-the volume slab range along the principal axis (orbit cameras are; an
-inside eye needs the ray-marcher fallback), and pixels whose rays run
-within ~1e-4 of parallel to the principal planes are rendered transparent
-(at the reference's default 45-degree FOV no such pixels exist).
+Limitations: the eye must be outside the volume slab range along the
+principal axis (orbit cameras are) — :func:`sweep_render` checks this on
+host and automatically falls back to the exact ray-marcher
+(ops/gather.py) for an inside eye — and pixels whose rays run within
+~1e-4 of parallel to the principal planes are rendered transparent (at
+the reference's default 45-degree FOV no such pixels exist).
 """
 
 from __future__ import annotations
@@ -341,6 +342,20 @@ def sweep_render(volume: Volume, tf: TransferFunction, light_volume: Array,
     na = volume.data.shape[2 - axis]
     if n_planes is None:
         n_planes = max(2, int(na * config.sampling_rate))
+    # The sweep factorization requires the eye OUTSIDE the slab range
+    # along the principal axis (module docstring); check on host (the
+    # camera is concrete) and fall back to the exact ray-marcher rather
+    # than silently compositing an almost-empty image (ADVICE round 4).
+    eye_a = float(np.asarray(camera.eye)[axis])
+    z_first = 0.5 / n_planes if sign > 0 else 1.0 - 0.5 / n_planes
+    if (z_first - eye_a) * sign <= 1e-6:
+        if return_intermediate:
+            raise ValueError(
+                f"sweep_render: eye (axis {axis} coord {eye_a:.3f}) lies "
+                "inside the volume slab range; no sweep intermediate "
+                "exists — use the ray-marcher")
+        from cpm_tpu.ops import gather
+        return gather.render(volume, tf, light_volume, camera, config)
     if inter_scale is None:
         inter_scale = getattr(config, "inter_scale", 1.5)
     U = _round_up(int(config.width * inter_scale), 128)

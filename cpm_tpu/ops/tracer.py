@@ -162,7 +162,7 @@ def trace_photons(volume: Volume, tf: TransferFunction,
     vol_shape = volume.data.shape
     d_, h_, w_ = vol_shape
     reps = [-(-s // g) for s, g in ((d_, gz), (h_, gy), (w_, gx))]
-    dist = majorant_mod.empty_distance_grid(maj)
+    dist = majorant_mod.empty_distance_grid(maj, cap=config.empty_jump_cap)
     # Texture-space length of one safely skippable cell (min over axes).
     cell_min_ext = jnp.float32(1.0) / jnp.max(gdim)
 

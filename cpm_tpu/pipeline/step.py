@@ -225,12 +225,23 @@ def recompute_importance(config: PipelineConfig,
     macrocell majorants a trajectory depends on data up to ``block_ring``
     cells BESIDE its path (the dilated bound changes the clamp/accept
     points and hence the RNG consumption), so a change one cell away from
-    a path must flag it too. Matching the two radii restores the
-    exact-coverage property the reference gets for free from its
-    volume-independent global majorant (at the cost of a one-cell-fattened
-    flagged set).
+    a path must flag it too.
+
+    Coverage caveat (ADVICE round 4): trajectories ALSO depend on the
+    capped empty-space distance map up to ``empty_jump_cap + 1`` cells
+    away (ops/majorant.py:empty_distance_grid), so the default
+    ``block_ring`` dilation is an approximation — an edit that flips a
+    cell's emptiness can shift the RNG phase of unflagged photons passing
+    within the cap of it. ``config.recompute.exact_coverage`` dilates by
+    the full influence radius instead, which (with importance_mode="dda")
+    restores exact coverage at the cost of a much fatter flagged set. The
+    reference avoids the issue entirely by using a volume-independent
+    global majorant — and pays for it with thousands of rejection steps
+    in sparse volumes.
     """
     r = config.tracer.block_ring
+    if config.recompute.exact_coverage:
+        r = config.tracer.block_ring + config.tracer.empty_jump_cap + 1
     win = (2 * r + 1,) * 3
     dilated = jax.lax.reduce_window(
         importance_grid.data, -jnp.inf, jax.lax.max, win, (1, 1, 1), "SAME")

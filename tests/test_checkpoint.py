@@ -86,3 +86,15 @@ def test_leaf_count_mismatch_raises(tmp_path):
         # then the photon buffer must carry the SAVED interaction shape
         state2, _ = checkpoint.load_checkpoint(path)
         assert state2.photons.positions.shape[0] == 2
+
+
+def test_extensionless_path_roundtrips(tmp_path):
+    """ADVICE round 4: np.savez appends '.npz'; load must find the file."""
+    scene, config = _setup()
+    state = pstep.init_state(scene, config)
+    p = str(tmp_path / "ckpt_noext")
+    checkpoint.save_checkpoint(p, state, config)
+    state2, config2 = checkpoint.load_checkpoint(p)
+    np.testing.assert_array_equal(np.asarray(state.photons.positions),
+                                  np.asarray(state2.photons.positions))
+    assert config2 == config

@@ -127,3 +127,25 @@ class TestGradientsFiniteDifference:
             an = float(jnp.sum(g[3] * v))
             fd = (float(lfn(*hi)) - val) / 0.5  # exact for a linear map
             np.testing.assert_allclose(fd, an, rtol=1e-4)
+
+
+def test_replay_rejects_no_single_scattering(setup_module=None):
+    """ADVICE round 4: no_single_scattering traces are not replayable (the
+    first event's position is unstored); replay must raise, not silently
+    diverge by ~4pi."""
+    import pytest
+
+    from cpm_tpu.core.types import (LightSamples, PhotonData,
+                                    TransferFunction, Volume)
+    from cpm_tpu.io import synthetic
+
+    vol = Volume.from_data(synthetic.smoke_cloud(8, seed=0))
+    tf = TransferFunction.from_points(*synthetic.default_tf_points())
+    tfs = TransferFunction.from_points(*synthetic.default_scattering_points())
+    ph = PhotonData.create(4, 2)
+    ls = LightSamples(origins=jnp.zeros((4, 3)), directions=jnp.zeros((4, 3)),
+                      powers=jnp.ones((4, 3)), tspan=jnp.zeros((4, 2)),
+                      iteration=jnp.int32(0))
+    with pytest.raises(NotImplementedError, match="no_single_scattering"):
+        replay.replay_powers(vol, tf, tfs, ph, ls,
+                             no_single_scattering=True)

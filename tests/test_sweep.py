@@ -123,3 +123,25 @@ class TestSweepGradients:
         assert float(jnp.abs(g_lv).max()) > 0.0
         assert float(jnp.abs(g_tf).max()) > 0.0
         assert float(jnp.abs(g_vol).max()) > 0.0
+
+
+class TestEyeInsideFallback:
+    """ADVICE round 4: an eye inside the slab range must not silently
+    render an almost-empty sweep image — it falls back to the marcher."""
+
+    def test_inside_eye_matches_marcher(self, scene_small):
+        volume, tf, lv = scene_small
+        cam = Camera.create(eye=(0.5, 0.5, 0.5), center=(0.5, 0.5, 2.0))
+        cfg = RenderConfig(width=16, height=16, sampling_rate=1.0)
+        img = sw.sweep_render(volume, tf, lv, cam, cfg)
+        ref = gather.render(volume, tf, lv, cam, cfg)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref))
+        assert float(jnp.sum(img[..., 3])) > 0.0  # not an empty image
+
+    def test_inside_eye_intermediate_raises(self, scene_small):
+        volume, tf, lv = scene_small
+        cam = Camera.create(eye=(0.5, 0.5, 0.5), center=(0.5, 0.5, 2.0))
+        cfg = RenderConfig(width=16, height=16)
+        with pytest.raises(ValueError, match="slab range"):
+            sw.sweep_render(volume, tf, lv, cam, cfg,
+                            return_intermediate=True)
