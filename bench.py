@@ -60,7 +60,7 @@ def run_large(scene, config, reps: int):
     import time as _time
 
     from cpm_tpu.core.camera import Camera
-    from cpm_tpu.ops import splat as splat_mod
+    from cpm_tpu.ops import splat_binned
     from cpm_tpu.ops import sweep_render
     from cpm_tpu.ops import tracer as tracer_mod
     from cpm_tpu.pipeline import step as pstep
@@ -92,21 +92,22 @@ def run_large(scene, config, reps: int):
     stages["trace"] = {"ms": round(res.mean_ms, 1)}
     metrics["trace_mphotons_s"] = round(n / res.mean_s / 1e6, 3)
 
-    # --- splat 4M x I deposits ---
+    # --- splat 4M x I deposits (binned sort->tile->MXU backend; the exact
+    #     scatter costs 28.1 s here and is kept as the small-scale oracle) ---
     photons = photons.replace(
         radius_rel=jnp.float32(config.tracer.radius_rel),
         scene_radius=scene.volume.scene_radius())
     dim = pstep.light_volume_shape(config)
     fp = pstep.splat_footprint(config)
     t0 = _time.perf_counter()
-    lv = splat_mod.splat_all_chunked(photons, dim, fp, method="scatter")
+    lv = splat_binned.splat_all_binned(photons, dim, fp)
     readback(lv)
     print(f"large splat compile+first: {_time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     variants = [photons.replace(powers=photons.powers * (1.0 + 0.01 * i))
                 for i in range(2)]
     res = timeit(
-        lambda p: splat_mod.splat_all_chunked(p, dim, fp, method="scatter"),
+        lambda p: splat_binned.splat_all_binned(p, dim, fp),
         lambda i: (variants[i % 2],), reps=reps, warmup=0)
     stages["splat"] = {"ms": round(res.mean_ms, 1)}
     metrics["splat_ms"] = round(res.mean_ms, 1)
@@ -121,19 +122,21 @@ def run_large(scene, config, reps: int):
     metrics["render_mrays_s"] = round(w * w / res.mean_s / 1e6, 3)
     metrics["render_ms"] = round(res.mean_ms, 1)
 
-    # --- correlated selective recompute at 4M (top_k selection) ---
+    # --- correlated selective recompute at 4M (top_k selection, binned
+    #     incremental splats via the host-orchestrated scalable step) ---
     big_state = state.replace(photons=photons, light_volume=lv,
                               light_volume_accum=lv)
     imp = pstep.build_importance_grid(scene, config)
     budget = pstep.recompute_budget(config, n)
     t0 = _time.perf_counter()
-    out = pstep.correlated_step(scene, big_state, config, imp, budget)
+    out = pstep.correlated_step_scalable(scene, big_state, config, imp,
+                                         budget)
     readback(out.light_volume)
     print(f"large correlated compile+first: {_time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     res = timeit(
-        lambda s: pstep.correlated_step(scene, s, config, imp,
-                                        budget).light_volume,
+        lambda s: pstep.correlated_step_scalable(scene, s, config, imp,
+                                                 budget).light_volume,
         lambda i: (big_state.replace(
             key=jax.random.fold_in(big_state.key, 50 + i)),),
         reps=reps, warmup=0)
@@ -175,11 +178,6 @@ def main():
 
     if args.large:
         scene, config = build(256, (2048, 2048), 4, width=1024)
-        # Exact scatter splat: the dense product formulation is
-        # O(photons * grid) and takes minutes at 16.7M deposits.
-        from dataclasses import replace as _dcr
-        from cpm_tpu.core.config import SplatConfig
-        config = _dcr(config, splat=SplatConfig(method="scatter"))
         run_large(scene, config, args.reps)
         return
     scene, config = build(128, (256, 256), 4, width=512)

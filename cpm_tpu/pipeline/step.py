@@ -371,6 +371,106 @@ def correlated_step(scene: Scene, state: PhotonMapState,
         recompute_phase=state.recompute_phase + 1)
 
 
+@partial(jax.jit, static_argnames=("config", "budget"))
+def _correlated_select(scene: Scene, state: PhotonMapState,
+                       config: PipelineConfig,
+                       importance_grid: UniformGrid3D, budget: int):
+    """Jitted first half of the correlated update: importance -> top-k
+    selection -> sub-bundle gather (shared with :func:`correlated_step`)."""
+    photons = state.photons.replace(
+        iteration=jnp.int32(0),
+        radius_rel=jnp.float32(config.tracer.radius_rel))
+    if config.recompute.equal_importance:
+        imp = path_importance.equal_importance(
+            photons.n, state.recompute_phase,
+            config.recompute.equal_importance_percentage)
+    else:
+        imp = recompute_importance(config, importance_grid, photons,
+                                   state.light_samples)
+    indices, valid, n_remaining = select.select_photons_to_recompute(
+        imp, budget, exclude=state.retraced)
+    safe = jnp.where(valid, indices, 0)
+    sub = LightSamples(
+        origins=state.light_samples.origins[safe],
+        directions=state.light_samples.directions[safe],
+        powers=state.light_samples.powers[safe],
+        tspan=jnp.where(valid[:, None], state.light_samples.tspan[safe],
+                        jnp.array([0.0, -1.0], jnp.float32)),
+        iteration=state.light_samples.iteration,
+    )
+    return photons, indices, valid, safe, n_remaining, sub
+
+
+@jax.jit
+def _gather_selected_flat(photons: PhotonData, indices: Array, valid: Array):
+    """Flatten the selected photons' deposits for the binned splat:
+    invalid lanes become position sentinels (masked inside the splat)."""
+    i = photons.positions.shape[0]
+    b = indices.shape[0]
+    safe = jnp.where(valid, indices, 0)
+    pos = photons.positions[:, safe].reshape(i * b, 3).astype(jnp.float32)
+    pw = photons.powers[:, safe].reshape(i * b, 3).astype(jnp.float32)
+    lane_ok = jnp.broadcast_to(valid[None, :], (i, b)).reshape(i * b)
+    pos = jnp.where(lane_ok[:, None], pos, jnp.float32(constants.FLT_MAX))
+    return pos, pw
+
+
+def correlated_step_scalable(scene: Scene, state: PhotonMapState,
+                             config: PipelineConfig,
+                             importance_grid: UniformGrid3D,
+                             budget: int) -> PhotonMapState:
+    """Host-orchestrated correlated update for multi-million-photon maps.
+
+    Same semantics as :func:`correlated_step` (importance -> top-k ->
+    retrace -> incremental -1/+1 light-volume update with drain
+    bookkeeping), but the two selected splats run through the scalable
+    binned backend (ops/splat_binned.py), whose per-tile work list needs a
+    host readback — at BASELINE config-5 scale the in-jit scatter splat of
+    the selected set alone costs seconds. Call OUTSIDE jit.
+    """
+    from cpm_tpu.ops import splat_binned, tracer
+
+    photons, indices, valid, safe, n_remaining, sub = _correlated_select(
+        scene, state, config, importance_grid, budget)
+    key = jax.random.fold_in(state.key, jnp.int32(0))
+    chunk = config.tracer.trace_chunk
+    if chunk and budget > chunk:
+        new = tracer.trace_photons_chunked(
+            scene.volume, scene.tf, scene.tf_scattering, sub, key,
+            config.tracer, chunk, lane_ids=safe)
+    else:
+        new = tracer.trace_photons(
+            scene.volume, scene.tf, scene.tf_scattering, sub, key,
+            config.tracer, lane_ids=safe)
+    new = new.replace(radius_rel=photons.radius_rel,
+                      scene_radius=photons.scene_radius,
+                      iteration=jnp.int32(0))
+    merged = tracer.merge_recomputed(photons, new, indices, valid)
+
+    from cpm_tpu.core.types import relative_irradiance_scale
+
+    dim = light_volume_shape(config)
+    fp = splat_footprint(config)
+    scale = (jnp.float32(constants.ISOTROPIC_PHASE)
+             * relative_irradiance_scale(photons.n, photons.radius_rel))
+    old_pos, old_pw = _gather_selected_flat(photons, indices, valid)
+    new_pos, new_pw = _gather_selected_flat(merged, indices, valid)
+    removed = splat_binned.splat_binned_flat(
+        old_pos, old_pw, photons.radius_rel, scale, dim, fp)
+    added = splat_binned.splat_binned_flat(
+        new_pos, new_pw, photons.radius_rel, scale, dim, fp)
+    lv = state.light_volume - removed + added
+
+    drop_invalid = jnp.where(valid, indices, photons.n)
+    retraced = state.retraced.at[drop_invalid].set(True, mode="drop")
+    return state.replace(
+        photons=merged, light_volume=lv, light_volume_accum=lv,
+        retraced=jnp.where(n_remaining > 0, retraced,
+                           jnp.zeros_like(retraced)),
+        n_remaining=n_remaining,
+        recompute_phase=state.recompute_phase + 1)
+
+
 # ---------------------------------------------------------------------------
 # Importance-grid construction (min/max + TF [+ time difference])
 # ---------------------------------------------------------------------------
