@@ -5,11 +5,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
 breakdown — the analog of the reference's IVW_DETAILED_PROFILING cl::Event
 stage prints (progressivephotontracercl.cpp:562-598).
 
-All timings use the honest protocol in cpm_tpu/utils/benchmark.py: a timed
-rep only ends when a host readback of a scalar derived from the output
-completes (jax.block_until_ready is NOT sufficient on the axon tunnel
-backend), and inputs vary per rep so the executor cannot deduplicate
-dispatches.
+All timings use the honest protocol in cpm_tpu/utils/benchmark.py. Round-5
+calibration found the per-rep scalar readback itself costs ~26-55 ms of
+fixed tunnel latency (the r1-r4 numbers include it), so the default-config
+stages now use the PURE dispatch chain: K dispatches whose inputs each
+consume the previous output (built inside jit via feedback_scalar, so a
+lazy or deduplicating executor cannot skip any rep), one readback at the
+end (~1 ms/rep floor, validated against an in-jit lax.scan ground truth).
+The --large stages keep per-rep readbacks (stage times >> floor there).
 
 Default config = the reference's interactive workload: 65 536 photons
 (photondata.h:145), 128^3 volume, up to 4 scattering events, 512^2 camera.
@@ -181,7 +184,14 @@ def main():
         run_large(scene, config, args.reps)
         return
     scene, config = build(128, (256, 256), 4, width=512)
-    reps = args.reps
+    # Chained-protocol rep count: the per-rep readback floor on the axon
+    # tunnel is ~26-55 ms (utils/benchmark.py round-5 calibration), so
+    # steady-state stage times use a PURE dispatch chain with one final
+    # readback; more reps amortize the single floor further.
+    reps = max(args.reps, 20)
+
+    from cpm_tpu.utils.benchmark import (feedback_scalar, readback,
+                                         timeit_chained)
 
     state = pstep.init_state(scene, config)
     n_photons = state.photons.n
@@ -193,64 +203,87 @@ def main():
         if n_items is not None:
             stages[name]["mitems_s"] = round(n_items / res.mean_s / unit_scale, 3)
 
-    # --- full step: emit + trace + splat ---
+    pure = lambda a, o, i: (o,)
+    take0 = lambda a, o, i: (o[0],)
+
+    # --- full step: emit + trace + splat (key advanced inside jit so every
+    #     chained dispatch computes a fresh wave) ---
+    @jax.jit
+    def g_step(s):
+        return pstep.full_trace_step(
+            scene, s.replace(key=jax.random.fold_in(s.key, 1)), config)
+
     t0 = time.perf_counter()
-    out = pstep.full_trace_step(scene, state, config)
-    from cpm_tpu.utils.benchmark import readback
+    out = g_step(state)
     readback(out.light_volume)
     print(f"full_step compile+first: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
-    states = [state.replace(key=jax.random.fold_in(state.key, i))
-              for i in range(4)]
-    res = timeit(lambda s: pstep.full_trace_step(scene, s, config).light_volume,
-                 lambda i: (states[i % 4],), reps=reps, warmup=1)
+    res = timeit_chained(g_step, (out,), pure, reps=reps, warmup=1)
     record("trace_splat", res, n_photons)
     metrics["trace_splat_mphotons_s"] = round(n_photons / res.mean_s / 1e6, 3)
     metrics["trace_splat_ms"] = round(res.mean_ms, 2)
 
     # --- trace only ---
-    keys = [jax.random.fold_in(state.key, 100 + i) for i in range(4)]
-    res = timeit(
-        lambda k: tracer_mod.trace_photons(
+    @jax.jit
+    def g_trace(key):
+        ph = tracer_mod.trace_photons(
             scene.volume, scene.tf, scene.tf_scattering, state.light_samples,
-            k, config.tracer).positions,
-        lambda i: (keys[i % 4],), reps=reps, warmup=1)
+            key, config.tracer)
+        fb = feedback_scalar(ph.positions)
+        return jax.random.fold_in(key, fb.astype(jnp.uint32)), fb
+
+    res = timeit_chained(g_trace, (state.key,), take0, reps=reps, warmup=1)
     record("trace", res, n_photons)
     metrics["trace_mphotons_s"] = round(n_photons / res.mean_s / 1e6, 3)
 
     # --- splat only ---
-    photons = out.photons
     dim = pstep.light_volume_shape(config)
-    ph_variants = [photons.replace(powers=photons.powers * (1.0 + 0.01 * i))
-                   for i in range(4)]
-    res = timeit(
-        lambda p: splat_mod.splat_all(p, dim, pstep.splat_footprint(config),
-                                      method=pstep.splat_method(config)),
-        lambda i: (ph_variants[i % 4],), reps=reps, warmup=1)
+    fp = pstep.splat_footprint(config)
+    method = pstep.splat_method(config)
+
+    @jax.jit
+    def g_splat(ph):
+        lv = splat_mod.splat_all(ph, dim, fp, method=method)
+        fb = feedback_scalar(lv)
+        return ph.replace(powers=ph.powers * (0.999999 + 1e-6 * fb)), fb
+
+    res = timeit_chained(g_splat, (out.photons,), take0, reps=reps, warmup=1)
     record("splat", res, n_photons)
     metrics["splat_ms"] = round(res.mean_ms, 2)
 
-    # --- render (shear-warp MXU sweep) ---
+    # --- render (shear-warp MXU sweep; input light volume chained) ---
     w = config.render.width
-    cams = [Camera.create(eye=(0.4 + 0.01 * i, 0.6, -1.4)) for i in range(8)]
-    rstate = out
-    res = timeit(
-        lambda c: sweep_render.sweep_render(
-            scene.volume, scene.tf, rstate.light_volume_accum, c,
-            config.render),
-        lambda i: (cams[i % 8],), reps=reps, warmup=2)
+    cam = Camera.create(eye=(0.4, 0.6, -1.4))
+
+    @jax.jit
+    def g_render(lv):
+        img = sweep_render.sweep_render(
+            scene.volume, scene.tf, lv, cam, config.render)
+        fb = feedback_scalar(img)
+        return lv * (0.999999 + 1e-6 * fb), fb
+
+    res = timeit_chained(g_render, (out.light_volume_accum,), take0,
+                         reps=reps, warmup=2)
     record("render", res, w * w)
     metrics["render_mrays_s"] = round(w * w / res.mean_s / 1e6, 3)
     metrics["render_ms"] = round(res.mean_ms, 2)
+    metrics["render_inter_dims"] = [
+        int(config.render.width * config.render.inter_scale),
+        int(config.render.height * config.render.inter_scale)]
 
-    # --- correlated selective-recompute step (10% budget) ---
+    # --- correlated selective-recompute step (10% budget, fresh round each
+    #     rep: drain bookkeeping cleared, key advanced, state chained) ---
     imp = pstep.build_importance_grid(scene, config)
     budget = pstep.recompute_budget(config, n_photons)
-    res = timeit(
-        lambda s: pstep.correlated_step(scene, s, config, imp,
-                                        budget).light_volume,
-        lambda i: (out.replace(key=jax.random.fold_in(out.key, 50 + i)),),
-        reps=reps, warmup=1)
+
+    @jax.jit
+    def g_corr(s):
+        s2 = s.replace(key=jax.random.fold_in(s.key, 1),
+                       retraced=jnp.zeros_like(s.retraced),
+                       n_remaining=jnp.int32(0))
+        return pstep.correlated_step(scene, s2, config, imp, budget)
+
+    res = timeit_chained(g_corr, (out,), pure, reps=reps, warmup=1)
     record("correlated", res, budget)
     metrics["correlated_ms"] = round(res.mean_ms, 2)
     metrics["correlated_retrace_mphotons_s"] = round(
@@ -259,6 +292,33 @@ def main():
     # --- end-to-end interactive frame: correlated update + render ---
     frame_ms = metrics["correlated_ms"] + metrics["render_ms"]
     metrics["interactive_frame_ms"] = round(frame_ms, 2)
+
+    # --- fused packed frame: correlated + render as ONE 7-leaf dispatch
+    #     (pipeline/packed.py; beats the ~0.4 ms/leaf tunnel dispatch tax) ---
+    from cpm_tpu.pipeline import packed as packed_mod
+    p0 = packed_mod.pack_state(out)
+    cam0 = scene.camera
+
+    def g_frame(p):
+        p2, img = packed_mod.interactive_frame(scene, p, cam0, imp, config,
+                                               budget, fresh_round=True)
+        return p2
+
+    readback(g_frame(p0).light_volume)
+    res = timeit_chained(g_frame, (p0,), pure, reps=reps, warmup=1)
+    record("fused_frame", res, budget)
+    metrics["interactive_frame_fused_ms"] = round(res.mean_ms, 2)
+
+    def g_corr_packed(p):
+        p2, _ = packed_mod.interactive_frame(scene, p, cam0, imp, config,
+                                             budget, fresh_round=True,
+                                             do_render=False)
+        return p2
+
+    readback(g_corr_packed(p0).light_volume)
+    res = timeit_chained(g_corr_packed, (p0,), pure, reps=reps, warmup=1)
+    record("correlated_packed", res, budget)
+    metrics["correlated_packed_ms"] = round(res.mean_ms, 2)
 
     for name, v in stages.items():
         print(f"  {name:>12}: {v}", file=sys.stderr)

@@ -108,13 +108,16 @@ class RecomputeConfig:
     equal_importance_percentage: int = 10
     grid_cell_size: int = constants.DEFAULT_GRID_CELL_SIZE
     importance_steps: int = 64  # DDA segment resolution cap
-    # "quadrature": fixed-K midpoint sampling of the importance grid —
-    # 8x fewer gathers than the exact DDA (210 ms -> ~25 ms per correlated
-    # frame at 65k photons, measured round 4); ranking-equivalent in
-    # practice. "dda": exact Amanatides-Woo traversal (reference parity,
+    # "quadrature_mxu" (default): fixed-K midpoint sampling of the
+    # importance grid with the lookups recast as one-hot MXU matmuls —
+    # identical ranking to "quadrature", ~4 ms vs ~18 ms per correlated
+    # frame at 65k photons (the gather path costs ~8.5 ns/lookup on the
+    # v5e regardless of table size; round-5 measurement).
+    # "quadrature": the same midpoint rule via XLA gathers.
+    # "dda": exact Amanatides-Woo traversal (reference parity,
     # photonrecomputationdetector.cl:55-90) — guarantees no crossed cell is
     # missed, required for exact drain coverage.
-    importance_mode: str = "quadrature"
+    importance_mode: str = "quadrature_mxu"
     importance_quadrature_samples: int = 8
     # Dilate the importance grid by the tracer's FULL data-influence radius
     # (block_ring + empty_jump_cap + 1) instead of just block_ring, so that

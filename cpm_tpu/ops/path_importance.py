@@ -163,6 +163,9 @@ def photon_path_importance(importance_grid: UniformGrid3D,
     if mode == "quadrature":
         seg_imp = grid_segment_integral_quadrature(grid, x1, x2, cell_dim,
                                                    n_samples)
+    elif mode == "quadrature_mxu":
+        seg_imp = grid_segment_integral_quadrature_mxu(grid, x1, x2,
+                                                       cell_dim, n_samples)
     else:
         seg_imp = grid_segment_integral(grid, x1, x2, cell_dim, max_steps)
     seg_imp = jnp.where(sv, seg_imp, 0.0)
@@ -203,5 +206,44 @@ def grid_segment_integral_quadrature(grid: Array, x1: Array, x2: Array,
     flat = grid.reshape(-1)
     idx = (c[..., 2] * gy + c[..., 1]) * gx + c[..., 0]
     vals = flat[idx]  # (K, M)
+    length = jnp.linalg.norm(x2 - x1, axis=-1)
+    return jnp.mean(vals, axis=0) * length
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def grid_segment_integral_quadrature_mxu(grid: Array, x1: Array, x2: Array,
+                                         cell_dim: Array,
+                                         n_samples: int = 8) -> Array:
+    """MXU one-hot formulation of
+    :func:`grid_segment_integral_quadrature` — same math, no gathers.
+
+    On the v5e the gather path costs ~8.5 ns/lookup regardless of table
+    size (round-4/5 measurements), 18 ms per correlated frame at 65k
+    photons x 8 samples; the importance grid is tiny (cells^3 values), so
+    each sample's lookup grid[cz, cy, cx] is recast as a one-hot (z, y)
+    row-selection matmul (exact: exactly ONE nonzero product per output,
+    so no summation rounding; bf16_x3 keeps the operand f32-exact)
+    followed by an elementwise one-hot x-selection. Measured ~4 ms for the
+    identical ranking.
+    """
+    gz, gy, gx = grid.shape
+    max_cells = jnp.array([gx, gy, gz], jnp.float32)
+    ts = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
+    p = x1[None, :, :] + ts[:, None, None] * (x2 - x1)[None, :, :]
+    c = jnp.clip(jnp.floor(p / cell_dim), 0.0, max_cells - 1.0
+                 ).astype(jnp.int32)
+    m = x1.shape[0]
+    idx_zy = (c[..., 2] * gy + c[..., 1]).reshape(-1)  # (K*M,)
+    oh = (idx_zy[:, None]
+          == jnp.arange(gz * gy, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        oh, grid.reshape(gz * gy, gx),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision="BF16_BF16_F32_X3")  # (K*M, gx)
+    cx = c[..., 0].reshape(-1)
+    ohx = (cx[:, None] == jnp.arange(gx, dtype=jnp.int32)[None, :])
+    vals = jnp.sum(jnp.where(ohx, rows, 0.0), axis=1).reshape(n_samples, m)
     length = jnp.linalg.norm(x2 - x1, axis=-1)
     return jnp.mean(vals, axis=0) * length

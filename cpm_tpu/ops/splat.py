@@ -240,6 +240,38 @@ def _splat_chunk_jit(pos: Array, pow_: Array, radius_rel: Array,
 
 
 @partial(jax.jit, static_argnames=("out_dim", "footprint", "method"))
+def splat_selected_delta(old: PhotonData, new: PhotonData, indices: Array,
+                         valid: Array, out_dim: tuple, footprint: int = 4,
+                         method: str = "scatter") -> Array:
+    """The incremental -old/+new update in ONE splat pass.
+
+    Concatenates the selected photons' old deposits (weight -1) and new
+    deposits (weight +1) into a single signed deposit list — halves the
+    per-call dispatch/launch overhead of the two ``splat_selected`` passes
+    (photonstolightvolume.cl:182-199 photonRadianceMultiplier semantics).
+    Returns the light-volume DELTA (add it to the previous volume).
+    """
+    i, n, _ = old.positions.shape
+    b = indices.shape[0]
+    safe = jnp.where(valid, indices, 0)
+    pos = jnp.concatenate([
+        old.positions[:, safe].reshape(i * b, 3),
+        new.positions[:, safe].reshape(i * b, 3)], axis=0)
+    lane_valid = jnp.broadcast_to(valid[None, :], (i, b)).reshape(i * b)
+    sign = jnp.concatenate([jnp.full((i * b, 1), -1.0, jnp.float32),
+                            jnp.full((i * b, 1), 1.0, jnp.float32)], axis=0)
+    pow_ = sign * jnp.concatenate([
+        old.powers[:, safe].reshape(i * b, 3),
+        new.powers[:, safe].reshape(i * b, 3)], axis=0)
+    pvalid = (jnp.concatenate([lane_valid, lane_valid])
+              & (pos[:, 0] < 1e30))
+    scale = (jnp.float32(constants.ISOTROPIC_PHASE)
+             * relative_irradiance_scale(n, old.radius_rel))
+    return _dispatch(method, pos, pow_, pvalid, old.radius_rel, scale,
+                     out_dim, footprint)
+
+
+@partial(jax.jit, static_argnames=("out_dim", "footprint", "method"))
 def splat_selected(photons: PhotonData, indices: Array, valid: Array,
                    out_dim: tuple, footprint: int = 4,
                    multiplier: float | Array = 1.0,

@@ -342,11 +342,9 @@ def correlated_step(scene: Scene, state: PhotonMapState,
     threshold = jnp.int32(config.splat.incremental_threshold * photons.n)
 
     def _incremental(_):
-        removed = splat.splat_selected(photons, indices, valid, dim, fp,
-                                       method=method)
-        added = splat.splat_selected(merged, indices, valid, dim, fp,
-                                     method=method)
-        return state.light_volume - removed + added
+        delta = splat.splat_selected_delta(photons, merged, indices, valid,
+                                           dim, fp, method=method)
+        return state.light_volume + delta
 
     def _full(_):
         return splat.splat_all(merged, dim, fp, method=method)

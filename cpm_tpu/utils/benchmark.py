@@ -3,17 +3,24 @@
 ``jax.block_until_ready`` does NOT reliably block on this backend (round-3
 post-mortem: 0.1 ms/frame "renders" with per-rep blocking vs 28.6 s/frame
 real). A timed rep is over only when a HOST READBACK of a value derived from
-the computation's output completes. Two honest protocols, both provided here:
+the computation's output completes.
 
-- :func:`timeit`: per rep, reduce every output leaf to a scalar ON DEVICE
-  (``jnp.sum``) and ``float()`` it — only scalars cross the tunnel, so the
-  readback cost is a fixed small latency, not proportional to output size.
-- :func:`timeit_chained`: chain each rep's output into the next rep's input
-  (data dependency forces sequential execution) and read back once at the
-  end; amortizes the readback latency for sub-millisecond ops.
+Round-5 calibration: the per-rep readback itself has a LARGE fixed floor on
+the tunnel — ~26 ms for a scalar, ~55 ms when the summed leaf is ~1 MB —
+measured against an in-jit ``lax.scan`` ground truth (0.28 ms/iter for the
+same op that "times" at 29 ms per-rep). Every per-rep-readback number is
+therefore inflated by a constant ~26-55 ms; at multi-second stage times
+that is noise, at 30-100 ms stage times it is up to 3x. The honest
+steady-state protocol is :func:`timeit_chained` with a PURE chain (no eager
+host-side ops between reps): K dispatches whose inputs each consume the
+previous rep's output (so a lazy/deduping executor can execute none of them
+short), one readback at the end, floor ~1 ms/rep. Build the feedback
+dependency INSIDE the jitted wrapper with :func:`feedback_scalar` — a
+sum-derived value XLA cannot constant-fold away.
 
-Both vary the inputs per rep (via ``make_args(i)``) so the executor cannot
-deduplicate identical dispatches (a failure mode also observed round 3).
+(Why not lax.scan around the stage? Scanning with a large carry costs
+~47 ms/iter in pure carry overhead on this backend — fine for ground-truth
+spot checks on small carries, wrong for state-carrying pipelines.)
 
 The reference's per-stage timing analog: IVW_DETAILED_PROFILING cl::Event
 elapsed times (progressivephotontracercl.cpp:562-598).
@@ -28,6 +35,16 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def feedback_scalar(x) -> "jnp.ndarray":
+    """A scalar derived from ``x`` (1.0 for any not-all-zero finite input)
+    that XLA cannot constant-fold: thread it into the next rep's input
+    inside a jitted wrapper to build a pure dispatch chain. The full-array
+    sum forces the producing dispatch to complete before the consumer."""
+    total = sum(jnp.sum(jnp.abs(jnp.asarray(leaf, jnp.float32)))
+                for leaf in jax.tree_util.tree_leaves(x))
+    return jnp.sign(jnp.minimum(total, jnp.float32(1.0)))
 
 
 def readback(out) -> float:

@@ -243,3 +243,23 @@ class TestMixerAndDiff:
         assert grids.shape == (2, 1, 1, 1)
         np.testing.assert_allclose(grids[0], 0.5)  # |t1 - t0|
         np.testing.assert_allclose(grids[1], 0.5)  # cyclic |t0 - t1|
+
+
+def test_quadrature_mxu_matches_gather():
+    """The one-hot MXU quadrature is the SAME estimator as the gather
+    quadrature — exact per-sample lookups (one nonzero product each), so
+    the two modes must agree to float precision on any segment set."""
+    import jax
+
+    from cpm_tpu.ops import path_importance as pi
+
+    key = jax.random.PRNGKey(0)
+    grid = jax.random.uniform(key, (7, 5, 6))
+    m = 503
+    x1 = jax.random.uniform(jax.random.fold_in(key, 1), (m, 3)) * 40.0
+    x2 = jax.random.uniform(jax.random.fold_in(key, 2), (m, 3)) * 40.0
+    cell = jnp.array([8.0, 8.0, 8.0])
+    a = pi.grid_segment_integral_quadrature(grid, x1, x2, cell, 8)
+    b = pi.grid_segment_integral_quadrature_mxu(grid, x1, x2, cell, 8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-7)
