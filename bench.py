@@ -32,7 +32,7 @@ import numpy as np
 
 
 def build(vol_dim: int, photons_xy: tuple[int, int], max_i: int,
-          width: int = 512):
+          width: int = 512, n_lights: int = 1):
     from cpm_tpu.core.camera import Camera
     from cpm_tpu.core.config import (PipelineConfig, RecomputeConfig,
                                      RenderConfig, TracerConfig)
@@ -44,9 +44,9 @@ def build(vol_dim: int, photons_xy: tuple[int, int], max_i: int,
     volume = Volume.from_data(synthetic.smoke_cloud(vol_dim, seed=3))
     tf = TransferFunction.from_points(*synthetic.default_tf_points())
     tfs = TransferFunction.from_points(*synthetic.default_scattering_points())
-    scene = Scene.create(volume, tf, tfs,
-                         [Light.directional((0.0, -1.0, 0.3))],
-                         Camera.create())
+    lights = [Light.directional((0.0, -1.0, 0.3)),
+              Light.directional((0.8, -0.4, -0.2))][:n_lights]
+    scene = Scene.create(volume, tf, tfs, lights, Camera.create())
     config = PipelineConfig(
         photons_x=photons_xy[0], photons_y=photons_xy[1],
         tracer=TracerConfig(max_interactions=max_i, max_steps=6000),
@@ -155,6 +155,7 @@ def run_large(scene, config, reps: int):
         "unit": "Mphotons/s",
         "vs_baseline": headline,
         "config": {"volume": scene.volume.data.shape[0], "photons": n,
+                   "lights": len(scene.lights),
                    "max_interactions": config.tracer.max_interactions,
                    "image": w},
         "metrics": metrics,
@@ -162,10 +163,124 @@ def run_large(scene, config, reps: int):
     }))
 
 
+def run_config3(reps: int):
+    """BASELINE config 3: 256^3 CT-head-like volume with guided photon
+    emission — a pilot wave measures per-light-plane-bin contribution
+    (ops/emit.py:emission_guide_from_wave), subsequent waves sample the
+    light plane by its inverse CDF. Reports the equal-photon variance
+    reduction of the light-volume estimate vs uniform emission, the
+    estimator bias, and guided trace+splat throughput."""
+    import numpy as np
+
+    from cpm_tpu.core.camera import Camera
+    from cpm_tpu.core.config import (PipelineConfig, RecomputeConfig,
+                                     RenderConfig, TracerConfig)
+    from cpm_tpu.core.lights import Light
+    from cpm_tpu.core.scene import Scene
+    from cpm_tpu.core.types import TransferFunction, Volume
+    from cpm_tpu.io import synthetic
+    from cpm_tpu.ops import emit as emit_mod
+    from cpm_tpu.ops import sampling
+    from cpm_tpu.pipeline import step as pstep
+    from cpm_tpu.utils.benchmark import readback, timeit_chained
+
+    volume = Volume.from_data(synthetic.ct_head_like(256))
+    tf = TransferFunction.from_points(*synthetic.default_tf_points())
+    tfs = TransferFunction.from_points(*synthetic.default_scattering_points())
+    light = Light.directional((0.2, -1.0, 0.3))
+    scene = Scene.create(volume, tf, tfs, [light], Camera.create())
+    cfg = PipelineConfig(
+        photons_x=256, photons_y=256,
+        tracer=TracerConfig(max_interactions=4, max_steps=8000),
+        recompute=RecomputeConfig(max_photons_fraction=0.1),
+        render=RenderConfig(width=512, height=512))
+    floor = 0.25
+
+    def wave(guide, seed):
+        grid = sampling.stratified_grid_2d(cfg.photons_x, cfg.photons_y)
+        if guide is not None:
+            grid = sampling.warp_samples_2d(grid, guide, floor=floor)
+        ls = emit_mod.emit(light, grid,
+                           key=jax.random.fold_in(
+                               jax.random.PRNGKey(seed), 7))
+        st = pstep.init_state(scene, cfg, seed=seed, light_samples=ls)
+        st = pstep.full_trace_step(scene, st, cfg)
+        return st, grid
+
+    # Pilot wave (uniform) -> adaptive contribution guide.
+    pilot, pilot_grid = wave(None, 999)
+    guide = emit_mod.emission_guide_from_wave(
+        pilot_grid[:, 0:2], pilot_grid[:, 3], pilot.photons.powers,
+        n_u=64, n_v=64)
+    readback(guide)
+
+    n_waves = 6
+    lv_u = [np.asarray(wave(None, s)[0].light_volume)
+            for s in range(n_waves)]
+    lv_g = [np.asarray(wave(guide, s)[0].light_volume)
+            for s in range(n_waves)]
+
+    # Variance of the light-volume estimate: mean over bright cells of the
+    # per-cell relative variance across waves (equal photons per wave).
+    mean_u = np.mean(lv_u, axis=0)
+    bright = mean_u.sum(-1) > np.percentile(mean_u.sum(-1), 90)
+
+    def relvar(waves_):
+        s = np.stack([w.sum(-1)[bright] for w in waves_])
+        m = np.maximum(s.mean(0), 1e-12)
+        return float(np.mean(s.var(0) / m ** 2))
+
+    rel_var_u = relvar(lv_u)
+    rel_var_g = relvar(lv_g)
+    bias = abs(np.mean([x.sum() for x in lv_g])
+               / max(np.mean([x.sum() for x in lv_u]), 1e-9) - 1.0)
+
+    # Guided full-step throughput (chained; the warp happens in-jit).
+    g0 = sampling.stratified_grid_2d(cfg.photons_x, cfg.photons_y)
+
+    @jax.jit
+    def g_step(s, key):
+        grid = sampling.warp_samples_2d(g0, guide, floor=floor)
+        ls = emit_mod.emit(light, grid, key=key)
+        s = s.replace(light_samples=ls,
+                      key=jax.random.fold_in(key, 1))
+        out = pstep.full_trace_step(scene, s, cfg)
+        return out, jax.random.fold_in(key, out.photons.iteration + 1)
+
+    st0 = pilot
+    readback(g_step(st0, st0.key)[0].light_volume)
+    res = timeit_chained(lambda s, k: g_step(s, k), (st0, st0.key),
+                         lambda a, o, i: o, reps=max(reps, 10), warmup=1)
+    n = st0.photons.n
+    metrics = {
+        "trace_splat_ms": round(res.mean_ms, 2),
+        "trace_splat_mphotons_s": round(n / res.mean_s / 1e6, 3),
+        "bright_cell_rel_variance_uniform": round(rel_var_u, 6),
+        "bright_cell_rel_variance_guided": round(rel_var_g, 6),
+        "variance_reduction_x": round(rel_var_u / max(rel_var_g, 1e-12), 3),
+        "total_irradiance_bias": round(float(bias), 4),
+        "guide_floor": floor,
+    }
+    print(json.dumps({
+        "metric": "guided_emission_variance_reduction",
+        "value": metrics["variance_reduction_x"],
+        "unit": "x (equal-photon rel-variance, bright cells)",
+        "vs_baseline": metrics["variance_reduction_x"],
+        "config": {"volume": 256, "photons": n, "max_interactions": 4,
+                   "guide": [64, floor]},
+        "metrics": metrics,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--large", action="store_true",
-                    help="BASELINE config-5 scale: 4M photons / 256^3")
+                    help="config-5 scale proof on one chip: 4M / 256^3")
+    ap.add_argument("--large512", action="store_true",
+                    help="BASELINE config 5 AS WRITTEN: 512^3, 2 lights, "
+                         "4M photons, 1024^2 (single-chip slice)")
+    ap.add_argument("--config3", action="store_true",
+                    help="BASELINE config 3: 256^3 CT head, guided emission")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
@@ -182,6 +297,18 @@ def main():
     if args.large:
         scene, config = build(256, (2048, 2048), 4, width=1024)
         run_large(scene, config, args.reps)
+        return
+    if args.large512:
+        # BASELINE config 5 as written: 512^3 volume, 2 directional
+        # lights (2M samples each = 4.2M photons), 1024^2 camera. The
+        # multi-host sharding of this workload is exercised by
+        # parallel/multihost.py on the virtual mesh; this proves the
+        # single-chip slice fits and runs.
+        scene, config = build(512, (2048, 1024), 4, width=1024, n_lights=2)
+        run_large(scene, config, args.reps)
+        return
+    if args.config3:
+        run_config3(args.reps)
         return
     scene, config = build(128, (256, 256), 4, width=512)
     # Chained-protocol rep count: the per-rep readback floor on the axon

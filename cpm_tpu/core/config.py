@@ -138,10 +138,10 @@ class RenderConfig:
     height: int = 512
     sampling_rate: float = 1.0
     ambient: float = 0.05
-    # "sweep" -> shear-warp MXU renderer (ops/sweep_render.py, 35 ms/frame
-    # honest at 512^2/128^3 on v5e); "march" -> dense-batch ray marcher
-    # (ops/gather.py, gather-bound, ~28 s/frame — oracle/fallback only,
-    # e.g. for an eye inside the volume).
+    # "sweep" -> shear-warp MXU renderer (ops/sweep_render.py, 12.7 ms per
+    # 512^2/128^3 frame on v5e, round-5 chained protocol); "march" ->
+    # dense-batch ray marcher (ops/gather.py, gather-bound, ~28 s/frame —
+    # oracle/fallback only).
     method: str = "sweep"
     # Intermediate-image oversampling factor for the sweep renderer.
     inter_scale: float = 1.5
@@ -155,6 +155,15 @@ class PipelineConfig:
     render: RenderConfig = field(default_factory=RenderConfig)
     photons_x: int = 256  # photon grid (photons = photons_x * photons_y)
     photons_y: int = 256
+    # Importance-map-guided photon emission (BASELINE config 3): warp each
+    # directional light's stratified sample grid by the inverse CDF of the
+    # importance grid's projection onto the light plane
+    # (ops/emit.py:build_emission_guide + ops/sampling.py:warp_samples_2d).
+    # Unbiased for any guide (pdf bookkeeping); guide_floor mixes in the
+    # uniform density so zero-importance regions keep coverage.
+    guided_emission: bool = False
+    guide_resolution: int = 64
+    guide_floor: float = 0.1
     # "linear" keeps raster sample order; "hilbert" reorders the 2D sample
     # grid along a Hilbert curve (cl/samplegridindex.cl:51-85) so that
     # nearby lane ids emit spatially nearby photons — this is what makes

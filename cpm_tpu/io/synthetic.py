@@ -87,3 +87,20 @@ def default_scattering_points(albedo: float = 0.9):
     scat = [(r, g, b, a * albedo / max(1.0 - albedo, 1e-3))
             for (r, g, b, a) in colors]
     return positions, scat
+
+
+def ct_head_like(dim: int = 256) -> np.ndarray:
+    """CT-head-like phantom for BASELINE config 3: a high-density ellipsoid
+    shell (skull) around a medium-density interior (soft tissue) with an
+    embedded brighter core, on empty background — the value distribution a
+    head-CT transfer function discriminates
+    (workspaces/CorrelatedPhotonMappingSingleVolume.inv analog)."""
+    z, y, x = np.mgrid[0:dim, 0:dim, 0:dim].astype(np.float32) / dim
+    # Ellipsoidal radius around the center (head slightly elongated in z).
+    r = np.sqrt(((x - 0.5) / 0.32) ** 2 + ((y - 0.5) / 0.38) ** 2
+                + ((z - 0.5) / 0.42) ** 2)
+    skull = np.clip(1.0 - np.abs(r - 0.92) / 0.08, 0.0, 1.0)  # thin shell
+    tissue = np.where(r < 0.88, 0.35, 0.0)
+    core = np.clip(0.6 - np.sqrt((x - 0.55) ** 2 + (y - 0.5) ** 2
+                                 + (z - 0.45) ** 2) / 0.2, 0.0, 0.6)
+    return np.clip(0.9 * skull + tissue + core, 0.0, 1.0).astype(np.float32)

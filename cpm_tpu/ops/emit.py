@@ -15,6 +15,8 @@ placement itself is jittable.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -138,6 +140,96 @@ def emit_area(light: L.Light, samples: Array, key: Array | None = None,
         origins, directions, box_min, box_max)
     return LightSamples(origins=origins, directions=directions, powers=powers,
                         tspan=tspan, iteration=jnp.int32(iteration))
+
+
+def build_emission_guide(importance_grid, light: L.Light,
+                         n_u: int = 64, n_v: int = 64, n_steps: int = 32,
+                         scene_points: np.ndarray | None = None,
+                         box_min=0.0, box_max=1.0) -> Array:
+    """(n_v, n_u) guide map for importance-guided emission of a
+    DIRECTIONAL light (BASELINE config 3 / north star).
+
+    Each guide texel integrates the recomputation-importance grid
+    (ops/importance.py) along the light ray through the corresponding
+    point of the fitted light plane: texels whose photons would cross
+    important volume regions score high. Feed the result to
+    :func:`cpm_tpu.ops.sampling.warp_samples_2d`; the pdf bookkeeping
+    there keeps ``power = radiance * area / pdf``
+    (directionallightsampler.cl:37-62) unbiased for any guide.
+    """
+    if light.type != L.DIRECTIONAL:
+        raise ValueError("guided emission currently supports directional "
+                         "lights (the BASELINE config-3 setup)")
+    if scene_points is None:
+        scene_points = lightplane.unit_box_corners(box_min, box_max)
+    origin, tu, tv, _ = lightplane.fit_light_plane(
+        scene_points, np.asarray(light.direction))
+    return _emission_guide_jit(
+        importance_grid.data, jnp.asarray(origin), jnp.asarray(tu),
+        jnp.asarray(tv), jnp.asarray(light.direction, jnp.float32),
+        n_u, n_v, n_steps, jnp.asarray(box_min, jnp.float32),
+        jnp.asarray(box_max, jnp.float32))
+
+
+def _emission_guide_jit(grid: Array, origin: Array, tu: Array, tv: Array,
+                        d: Array, n_u: int, n_v: int, n_steps: int,
+                        box_min: Array, box_max: Array) -> Array:
+    us = (jnp.arange(n_u, dtype=jnp.float32) + 0.5) / n_u
+    vs = (jnp.arange(n_v, dtype=jnp.float32) + 0.5) / n_v
+    o = (origin[None, None, :] + tu[None, None, :] * us[None, :, None]
+         + tv[None, None, :] * vs[:, None, None])  # (Nv, Nu, 3)
+    o = o.reshape(-1, 3)
+    dirs = jnp.broadcast_to(d, o.shape)
+    hit, t0, t1 = intersect.ray_box(o, dirs, box_min, box_max)
+    ts = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
+    t = t0[None, :] + ts[:, None] * (t1 - t0)[None, :]  # (K, M)
+    p = o[None, :, :] + t[..., None] * dirs[None, :, :]
+    gz, gy, gx = grid.shape
+    c = jnp.clip(jnp.floor(p * jnp.array([gx, gy, gz], jnp.float32)),
+                 0.0, jnp.array([gx - 1, gy - 1, gz - 1], jnp.float32)
+                 ).astype(jnp.int32)
+    vals = grid.reshape(-1)[(c[..., 2] * gy + c[..., 1]) * gx + c[..., 0]]
+    span = jnp.maximum(t1 - t0, 0.0) * hit.astype(jnp.float32)
+    guide = jnp.mean(vals, axis=0) * span
+    return guide.reshape(n_v, n_u)
+
+
+_emission_guide_jit = jax.jit(
+    _emission_guide_jit, static_argnames=("n_u", "n_v", "n_steps"))
+
+
+@partial(jax.jit, static_argnames=("n_u", "n_v"))
+def emission_guide_from_wave(uv: Array, pdf: Array, deposits: Array,
+                             n_u: int = 64, n_v: int = 64) -> Array:
+    """Adaptive emission guide: measured CONTRIBUTION per light-plane bin.
+
+    The projection guide (:func:`build_emission_guide`) steers photons at
+    the recomputation importance, which is the right signal after a TF
+    edit but is NOT proportional to deposited energy — on broad scenes it
+    can RAISE variance (floor-region photons carry 1/floor weights that
+    spike when they scatter into bright regions; measured on the config-3
+    CT head). The variance-minimizing density is the contribution itself,
+    so this builds the guide from a traced wave: each sample's deposited
+    luminance times its emission pdf is an unbiased estimate of the
+    contribution C(u, v) at its plane position; bin-averaging over a
+    (n_v, n_u) grid estimates C as a piecewise-constant density (the
+    classic two-pass adaptive importance-sampling scheme; progressive
+    waves can re-estimate every wave).
+
+    Args:
+      uv: (N, 2) plane coordinates the samples were EMITTED at (warped).
+      pdf: (N,) their emission pdfs (samples[:, 3] after any warp).
+      deposits: (I, N, 3) stored deposit powers (PhotonData.powers).
+    """
+    lum = jnp.sum(jnp.abs(deposits), axis=(0, 2))  # (N,) total luminance
+    lum = jnp.where(jnp.isfinite(lum), lum, 0.0)
+    contrib = lum * pdf
+    iu = jnp.clip((uv[:, 0] * n_u).astype(jnp.int32), 0, n_u - 1)
+    iv = jnp.clip((uv[:, 1] * n_v).astype(jnp.int32), 0, n_v - 1)
+    flat = iv * n_u + iu
+    tot = jnp.zeros(n_v * n_u, jnp.float32).at[flat].add(contrib)
+    cnt = jnp.zeros(n_v * n_u, jnp.float32).at[flat].add(1.0)
+    return (tot / jnp.maximum(cnt, 1.0)).reshape(n_v, n_u)
 
 
 def emit(light: L.Light, samples: Array, key: Array | None = None,

@@ -100,13 +100,14 @@ def fit_light_plane(points: np.ndarray, light_dir: np.ndarray,
     dist = points @ n
     plane_pt = points[np.argmin(dist)] - 1e-3 * n
 
-    # In-plane axes (orientedboundingbox2d.cpp:81-90).
-    if abs(n[0]) > abs(n[1]):
+    # In-plane axes (orientedboundingbox2d.cpp:81-90): seed with the world
+    # axis LEAST aligned with the plane normal, else an axis-aligned light
+    # (e.g. straight down) degenerates to a zero-length projection.
+    if abs(n[0]) < abs(n[1]):
         a = np.array([1.0, 0.0, 0.0])
     else:
         a = np.array([0.0, 1.0, 0.0])
-    u_axis = a - np.dot(a - plane_pt * 0, n) * n  # project direction on plane
-    u_axis = a - np.dot(a, n) * n
+    u_axis = a - np.dot(a, n) * n  # project the seed axis onto the plane
     u_axis /= np.linalg.norm(u_axis)
     v_axis = np.cross(n, u_axis)
     v_axis /= np.linalg.norm(v_axis)

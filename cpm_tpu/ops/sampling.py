@@ -10,6 +10,8 @@ Reference parity:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -304,3 +306,59 @@ def hilbert_index_2d(u: Array, v: Array, order: int = 8) -> Array:
         swap = ry == 0
         x, y = jnp.where(swap, y, x), jnp.where(swap, x, y)
     return d
+
+
+@partial(jax.jit, static_argnames=())
+def warp_samples_2d(samples: Array, guide: Array,
+                    floor: float = 0.1) -> Array:
+    """Warp stratified (u, v) samples by the inverse CDF of a 2D guide map.
+
+    The importance-guided-emission warp (BASELINE config 3 / north star):
+    ``guide`` is a (Bv, Bu) nonnegative density proxy over the light plane;
+    samples are redistributed so the emission density is the piecewise-
+    constant mixture f = (1 - floor) * guide/mean(guide) + floor, and each
+    sample's pdf column (samples[:, 3]) is MULTIPLIED by f(u', v') — the
+    ``power = radiance / pdf`` chain downstream
+    (lightcl/cl/directionallightsampler.cl:37-62) then keeps the estimator
+    unbiased for ANY guide. ``floor`` in (0, 1] mixes in the uniform
+    density so the support never vanishes (zero-importance regions still
+    get (floor)x the uniform photon density).
+
+    Row-major factorization: v by the row-marginal inverse CDF, u by the
+    conditional inverse CDF of v's row. Both are exact piecewise-linear
+    CDF inversions over the bin grid, so a stratified input grid stays
+    stratified under the warp (low-discrepancy preserving).
+    """
+    bv, bu = guide.shape
+    g = jnp.maximum(guide, 0.0)
+    mean = jnp.maximum(jnp.mean(g), 1e-20)
+    f = (1.0 - floor) * g / mean + floor  # (Bv, Bu), mean ~ 1
+
+    u, v = samples[:, 0], samples[:, 1]
+    # --- v: row-marginal inverse CDF ---
+    mv = jnp.mean(f, axis=1)  # (Bv,) row masses (mean over u)
+    mv = mv / jnp.sum(mv)
+    cdf_v = jnp.concatenate([jnp.zeros(1), jnp.cumsum(mv)])
+    cdf_v = cdf_v.at[-1].set(1.0)
+    r = jnp.clip(jnp.searchsorted(cdf_v, v, side="right") - 1, 0, bv - 1)
+    binmass_v = jnp.maximum(cdf_v[r + 1] - cdf_v[r], 1e-20)
+    v2 = (r + (v - cdf_v[r]) / binmass_v) / bv
+    pdf_v = binmass_v * bv
+
+    # --- u: conditional inverse CDF of row r ---
+    rowsum = jnp.maximum(jnp.sum(f, axis=1, keepdims=True), 1e-20)
+    cdf_u = jnp.concatenate(
+        [jnp.zeros((bv, 1)), jnp.cumsum(f / rowsum, axis=1)], axis=1)
+    cdf_u = cdf_u.at[:, -1].set(1.0)
+    rows = cdf_u[r]  # (N, Bu+1)
+    c = jnp.clip(
+        jnp.sum((rows <= u[:, None]).astype(jnp.int32), axis=1) - 1,
+        0, bu - 1)
+    lo = jnp.take_along_axis(rows, c[:, None], axis=1)[:, 0]
+    hi = jnp.take_along_axis(rows, c[:, None] + 1, axis=1)[:, 0]
+    binmass_u = jnp.maximum(hi - lo, 1e-20)
+    u2 = (c + (u - lo) / binmass_u) / bu
+    pdf_u = binmass_u * bu
+
+    pdf = samples[:, 3] * (pdf_v * pdf_u)
+    return jnp.stack([u2, v2, samples[:, 2], pdf], axis=-1)

@@ -32,8 +32,11 @@ removes the gathers instead: the classic *shear-warp factorization*
      image to screen pixels (the only gather: 4 row-gathers at H*W
      indices, milliseconds).
 
-Honest v5e numbers (round 4, per-rep host-readback sync): 35 ms per
-512^2 x 128^3 frame (7.5 Mrays/s) vs 28.6 s for the gather marcher.
+Honest v5e numbers (round 5, pure-dispatch-chain protocol — the round-4
+"35 ms" and the driver's "91 ms" both included 26-55 ms of fixed tunnel
+readback latency, see utils/benchmark.py): 12.7 ms per 512^2 x 128^3
+frame with a 768^2 intermediate (20.7 Mrays/s) vs 28.6 s for the gather
+marcher.
 
 The quadrature steps are uniform in the *a coordinate* (path length per
 step = dz * secant per ray), a valid discretization of the same integral

@@ -49,13 +49,20 @@ Array = jax.Array
 # Setup
 # ---------------------------------------------------------------------------
 
-def emit_all(scene: Scene, config: PipelineConfig, key: Array) -> LightSamples:
+def emit_all(scene: Scene, config: PipelineConfig, key: Array,
+             importance_grid: UniformGrid3D | None = None) -> LightSamples:
     """Emit the light-sample bundle for every light, concatenated.
 
     The analog of the tracer's LightSamples multi-inport loop
     (progressivephotontracercl.cpp:224-231, :481-527): N = nx*ny samples per
     light, all lights traced in one wavefront here instead of one kernel
     launch per light.
+
+    With ``config.guided_emission`` and an importance grid, directional
+    lights' sample grids are warped by the grid's projection onto each
+    light's plane (BASELINE config 3: importance-map-guided emission);
+    the pdf bookkeeping in :func:`sampling.warp_samples_2d` keeps the
+    power/pdf contract unbiased.
     """
     grid = sampling.stratified_grid_2d(config.photons_x, config.photons_y)
     if config.sample_order == "hilbert":
@@ -63,9 +70,18 @@ def emit_all(scene: Scene, config: PipelineConfig, key: Array) -> LightSamples:
         idx = sampling.hilbert_index_2d(grid[:, 0], grid[:, 1], order=order)
         grid = grid[jnp.argsort(idx)]
     bundles = []
+    from cpm_tpu.core import lights as L
     for i, light in enumerate(scene.lights):
         k = jax.random.fold_in(key, i)
-        bundles.append(emit_mod.emit(light, grid, key=k))
+        g = grid
+        if (config.guided_emission and importance_grid is not None
+                and light.type == L.DIRECTIONAL):
+            guide = emit_mod.build_emission_guide(
+                importance_grid, light,
+                n_u=config.guide_resolution, n_v=config.guide_resolution)
+            g = sampling.warp_samples_2d(grid, guide,
+                                         floor=config.guide_floor)
+        bundles.append(emit_mod.emit(light, g, key=k))
     if len(bundles) == 1:
         return bundles[0]
     return LightSamples(
@@ -113,11 +129,19 @@ def splat_footprint(config: PipelineConfig) -> int:
     return fp
 
 
-def init_state(scene: Scene, config: PipelineConfig, seed: int = 0) -> PhotonMapState:
+def init_state(scene: Scene, config: PipelineConfig, seed: int = 0,
+               importance_grid: UniformGrid3D | None = None,
+               light_samples: LightSamples | None = None) -> PhotonMapState:
     """Fresh progressive state: emitted light samples, empty photon buffer,
-    zero light volume."""
+    zero light volume. Pass ``importance_grid`` (with
+    ``config.guided_emission``) for importance-guided emission, or a
+    pre-built ``light_samples`` bundle (e.g. adaptively guided via
+    ops/emit.py:emission_guide_from_wave)."""
     key = jax.random.PRNGKey(seed)
-    ls = emit_all(scene, config, jax.random.fold_in(key, 1))
+    ls = light_samples
+    if ls is None:
+        ls = emit_all(scene, config, jax.random.fold_in(key, 1),
+                      importance_grid=importance_grid)
     photons = PhotonData.create(
         ls.n, config.tracer.max_interactions,
         radius_rel=config.tracer.radius_rel,
