@@ -303,8 +303,12 @@ def main():
         # lights (2M samples each = 4.2M photons), 1024^2 camera. The
         # multi-host sharding of this workload is exercised by
         # parallel/multihost.py on the virtual mesh; this proves the
-        # single-chip slice fits and runs.
+        # single-chip slice fits and runs. brick_scale=4: the 8x-expanded
+        # scale-2 brick table would be 17 GB at 512^3; scale 4 fits in
+        # 5.4 GB at ~1.4x the per-fetch row-width cost.
+        from dataclasses import replace as _dcr
         scene, config = build(512, (2048, 1024), 4, width=1024, n_lights=2)
+        config = _dcr(config, tracer=_dcr(config.tracer, brick_scale=4))
         run_large(scene, config, args.reps)
         return
     if args.config3:

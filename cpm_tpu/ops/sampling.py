@@ -169,50 +169,38 @@ def pack_bricks(data: Array, extra: Array | None = None,
     """Repack a (D, H, W) volume into 1/scale-resolution brick rows covering
     every trilinear stencil inside a scale^3-voxel brick with ONE row fetch.
 
-    Row (hz*H2 + hy)*W2 + hx holds 8*scale^3 corner slots: 8 groups (one
-    per (sa, sb, sc) neighbor-brick shift in {0,1}^3, group-major z,y,x) of
-    the shifted brick's own scale^3 voxels (local-major z,y,x) — i.e. slot
-    (sa,sb,sc,la,lb,lc) = data[scale*(hz+sa)+la, ...] (edge-clamped).
+    Row (hz*H2 + hy)*W2 + hx holds the (2*scale)^3 voxel window starting at
+    the brick base (edge-clamped): slot (oz, oy, ox) row-major =
+    data[scale*hz + oz, scale*hy + oy, scale*hx + ox]. The window covers
+    every trilinear stencil whose base voxel lies inside the brick.
     :func:`brick_weights` produces matching 2*scale-tap tent weights per
-    axis (tap t = scale*s + l). Column ``brick_slots(scale)`` carries
-    ``extra`` (e.g. the local macrocell majorant) at the brick's base voxel;
-    rows are padded to :func:`brick_width`.
+    axis. Column ``brick_slots(scale)`` carries ``extra`` (e.g. the local
+    macrocell majorant) at the brick's base voxel; rows are padded to
+    :func:`brick_width`.
 
     Why this shape (all numbers honest v5e, round 4):
     - gather throughput scales with table ROW COUNT, not bytes: 2^18 rows
       at w=8 -> 143 M rows/s, 2^21 rows -> 74 M rows/s, small tables
       (<=2^16 rows) -> ~165 M rows/s; scale=4 puts a 128^3 volume at 2^15
-      rows;
-    - the build avoids minor-axis strided slicing (27 stride-2 grabs cost
-      ~93 ms at 128^3) — one free 6D block reshape plus contiguous
-      brick-axis shifts and an 8-chunk concat.
+      rows.
+    - the build extracts the sliding windows with ONE
+      ``conv_general_dilated_patches`` (an MXU im2col): the previous 6-D
+      reshape/transpose build materialized tensors whose minor dims equal
+      ``scale``, which TPU (8, 128) tiling pads up to 64x — a 34 GB
+      allocation at 512^3 (round-5 OOM). Patch extraction keeps every
+      intermediate in (spatial..., channels) layout with a 128-friendly
+      minor dim.
     """
     d, h, w = data.shape
     k = scale
     d2, h2, w2 = -(-d // k), -(-h // k), -(-w // k)
-    v = jnp.pad(data, ((0, k * d2 - d), (0, k * h2 - h), (0, k * w2 - w)),
-                mode="edge")
-    blk = v.reshape(d2, k, h2, k, w2, k).transpose(0, 2, 4, 1, 3, 5)
+    v = jnp.pad(data, ((0, k * d2 - d + k), (0, k * h2 - h + k),
+                       (0, k * w2 - w + k)), mode="edge")
+    patches = jax.lax.conv_general_dilated_patches(
+        v[None, None], filter_shape=(2 * k, 2 * k, 2 * k),
+        window_strides=(k, k, k), padding="VALID")  # (1, 8k^3, d2, h2, w2)
+    rows = jnp.moveaxis(patches[0], 0, -1)  # (d2, h2, w2, 8k^3) row-major
 
-    def shift(b, brick_axis, local_axis):
-        # +1 brick with edge clamp: the out-of-range brick replicates the
-        # last brick's last local plane into every local slot.
-        sl = [slice(None)] * 6
-        sl[brick_axis] = slice(1, None)
-        main = b[tuple(sl)]
-        last = [slice(None)] * 6
-        last[brick_axis] = slice(-1, None)
-        edge = jnp.take(b[tuple(last)], jnp.full(k, k - 1), axis=local_axis)
-        return jnp.concatenate([main, edge], axis=brick_axis)
-
-    groups = []
-    for sa in (0, 1):
-        ba = shift(blk, 0, 3) if sa else blk
-        for sb in (0, 1):
-            bb = shift(ba, 1, 4) if sb else ba
-            for sc in (0, 1):
-                bc = shift(bb, 2, 5) if sc else bb
-                groups.append(bc.reshape(d2, h2, w2, k ** 3))
     if extra is None:
         extra = jnp.zeros(data.shape + (1,), data.dtype)
     elif extra.ndim == 3:
@@ -222,7 +210,7 @@ def pack_bricks(data: Array, extra: Array | None = None,
     xtr = extra[::k, ::k, ::k][:d2, :h2, :w2, :]
     pad = jnp.zeros((d2, h2, w2, brick_width(k) - brick_slots(k) - n_extra),
                     data.dtype)
-    return jnp.concatenate(groups + [xtr, pad], axis=-1).reshape(
+    return jnp.concatenate([rows, xtr, pad], axis=-1).reshape(
         d2 * h2 * w2, brick_width(k))
 
 
@@ -244,21 +232,17 @@ def brick_row_index(shape_zyx, pos: Array, scale: int = 2):
 
 def brick_weights(local: Array, scale: int = 2) -> Array:
     """(..., 8*scale^3) trilinear weights matching :func:`pack_bricks` slot
-    order (sa, sb, sc, la, lb, lc); per axis a 2*scale-tap tent over
-    t = scale*s + l (at most two taps are nonzero)."""
+    order (oz, oy, ox row-major over the (2*scale)^3 window); per axis a
+    2*scale-tap tent over tap offset o (at most two taps are nonzero)."""
     k = scale
     taps = jnp.arange(2 * k, dtype=jnp.float32)
     wz = jnp.maximum(0.0, 1.0 - jnp.abs(local[..., 2:3] - taps))
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(local[..., 1:2] - taps))
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(local[..., 0:1] - taps))
-    lead = local.shape[:-1]
-    wz = wz.reshape(lead + (2, k))  # [s, l]
-    wy = wy.reshape(lead + (2, k))
-    wx = wx.reshape(lead + (2, k))
-    out = (wz[..., :, None, None, :, None, None]
-           * wy[..., None, :, None, None, :, None]
-           * wx[..., None, None, :, None, None, :])
-    return out.reshape(lead + (8 * k ** 3,))
+    out = (wz[..., :, None, None]
+           * wy[..., None, :, None]
+           * wx[..., None, None, :])
+    return out.reshape(local.shape[:-1] + (8 * k ** 3,))
 
 
 def stratified_grid_2d(nx: int, ny: int, key=None) -> Array:

@@ -98,6 +98,36 @@ class _TraceState(NamedTuple):
     out_pos: Array  # (w, I, 3)
     out_pow: Array  # (w, I, 3)
     out_dir: Array  # (w, I, 2)
+    # Event tape (score-function gradients; (w, 1, ...) dummies when off):
+    evt_pos: Array  # (w, E, 3) tested-collision positions
+    evt_maj: Array  # (w, E) local majorant used for the acceptance test
+    evt_type: Array  # (w, E) int32, see EVT_* constants
+    n_evt: Array  # (w,) int32 tested collisions so far (may exceed E)
+
+
+# Event-tape type codes (ops/score_grad.py consumes these):
+EVT_NULL = 0      # rejected flight: factor (1 - sigma/maj)
+EVT_SCATTER = 1   # accepted + scattered: factors (sigma/maj) * albedo
+EVT_ABSORB = 2    # accepted + absorbed by the albedo test:
+#                   factors (sigma/maj) * (1 - albedo)
+EVT_FORCED = 3    # accepted at the max_interactions cap (deterministic
+#                   stop): factor (sigma/maj) only
+EVT_FIRST = 4     # accepted pre-scatter event (no_single_scattering):
+#                   factor (sigma/maj) only
+
+
+class TraceEvents(NamedTuple):
+    """Per-lane tape of every Woodcock acceptance test — the trajectory's
+    theta-dependent sampling decisions, consumed by
+    :mod:`cpm_tpu.ops.score_grad` to build the differentiable path
+    log-probability. Positions/majorants are recorded values (constants
+    under differentiation); ``counts`` may exceed the static cap E, in
+    which case the lane's tape is truncated (check ``counts <= E``)."""
+
+    positions: Array  # (N, E, 3)
+    majorants: Array  # (N, E)
+    types: Array  # (N, E) int32
+    counts: Array  # (N,) int32
 
 
 def _stage_widths(n: int, enabled: bool, min_width: int = 2048):
@@ -118,13 +148,15 @@ def _stage_widths(n: int, enabled: bool, min_width: int = 2048):
     return widths
 
 
-@partial(jax.jit, static_argnames=("config", "return_stats"))
+@partial(jax.jit,
+         static_argnames=("config", "return_stats", "record_events"))
 def trace_photons(volume: Volume, tf: TransferFunction,
                   tf_scattering: TransferFunction,
                   light_samples: LightSamples, base_key: Array,
                   config: TracerConfig,
                   lane_ids: Array | None = None,
-                  return_stats: bool = False) -> PhotonData:
+                  return_stats: bool = False,
+                  record_events: int = 0) -> PhotonData:
     """Trace all light samples; returns a fresh PhotonData (radius fields
     default-initialized — the pipeline layer owns the progressive state).
 
@@ -135,6 +167,13 @@ def trace_photons(volume: Volume, tf: TransferFunction,
     With ``return_stats`` the return becomes (photons, stats) where stats
     holds the wavefront iteration count and the mean active-lane fraction —
     the utilization diagnostics behind compaction decisions.
+
+    With ``record_events`` = E > 0, the return becomes
+    (photons, :class:`TraceEvents`) with a per-lane tape of up to E
+    acceptance tests — the raw material for score-function trajectory
+    gradients (ops/score_grad.py). Recording forces the uncompacted
+    single-stage loop (trajectories are identical either way; the tape
+    just stays lane-aligned) and is meant for gradient-sized workloads.
     """
     n = light_samples.n
     max_i = config.max_interactions
@@ -224,6 +263,10 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         out_pos=jnp.full((n, max_i, 3), big),
         out_pow=jnp.zeros((n, max_i, 3), jnp.float32),
         out_dir=jnp.zeros((n, max_i, 2), jnp.float32),
+        evt_pos=jnp.zeros((n, max(record_events, 1), 3), jnp.float32),
+        evt_maj=jnp.zeros((n, max(record_events, 1)), jnp.float32),
+        evt_type=jnp.zeros((n, max(record_events, 1)), jnp.int32),
+        n_evt=jnp.zeros(n, jnp.int32),
     )
 
     col_ids = jnp.arange(max_i, dtype=jnp.int32)[None, :]  # (1, I)
@@ -325,6 +368,28 @@ def trace_photons(volume: Volume, tf: TransferFunction,
                                 jnp.full((1, 3), big)),
                       s.power))
 
+        # --- score-gradient event tape (static flag; no-op otherwise) ---
+        evt_pos, evt_maj, evt_type, n_evt = (s.evt_pos, s.evt_maj,
+                                             s.evt_type, s.n_evt)
+        if record_events:
+            tested = s.active & ~exited & ~skip
+            etype = jnp.where(
+                ~collide, EVT_NULL,
+                jnp.where(first_event, EVT_FIRST,
+                          jnp.where(n_int_new >= max_i, EVT_FORCED,
+                                    jnp.where(do_scatter, EVT_SCATTER,
+                                              EVT_ABSORB))))
+            lane = jnp.arange(s.pos.shape[0])
+            e = jnp.minimum(s.n_evt, record_events - 1)
+            wm = tested & (s.n_evt < record_events)
+            evt_pos = s.evt_pos.at[lane, e].set(
+                jnp.where(wm[:, None], p, s.evt_pos[lane, e]))
+            evt_maj = s.evt_maj.at[lane, e].set(
+                jnp.where(wm, maj_op, s.evt_maj[lane, e]))
+            evt_type = s.evt_type.at[lane, e].set(
+                jnp.where(wm, etype, s.evt_type[lane, e]))
+            n_evt = s.n_evt + tested.astype(jnp.int32)
+
         n_active = jnp.sum(s.active.astype(jnp.int32))
         return _TraceState(
             step=s.step + 1,
@@ -351,6 +416,10 @@ def trace_photons(volume: Volume, tf: TransferFunction,
             out_pos=out_pos,
             out_pow=out_pow,
             out_dir=out_dir,
+            evt_pos=evt_pos,
+            evt_maj=evt_maj,
+            evt_type=evt_type,
+            n_evt=n_evt,
         )
 
     # --- staged wavefront with active-lane compaction ---
@@ -389,9 +458,13 @@ def trace_photons(volume: Volume, tf: TransferFunction,
             dist_carry=take(s.dist_carry),
             slots=take(s.slots),
             lane_ids=take(s.lane_ids), out_pos=take(s.out_pos),
-            out_pow=take(s.out_pow), out_dir=take(s.out_dir))
+            out_pow=take(s.out_pow), out_dir=take(s.out_dir),
+            evt_pos=take(s.evt_pos), evt_maj=take(s.evt_maj),
+            evt_type=take(s.evt_type), n_evt=take(s.n_evt))
 
-    widths = _stage_widths(n, config.use_compaction)
+    # Event recording keeps the tape lane-aligned: single uncompacted stage
+    # (trajectories are identical across stagings — (lane, step)-keyed RNG).
+    widths = _stage_widths(n, config.use_compaction and not record_events)
     state = init
 
     # K flights per while-loop iteration: each loop step on this backend
@@ -445,6 +518,12 @@ def trace_photons(volume: Volume, tf: TransferFunction,
             "stage_widths": widths,
         }
         return photons, stats
+    if record_events:
+        # Single stage => state rows are already slot-ordered.
+        events = TraceEvents(positions=state.evt_pos,
+                             majorants=state.evt_maj,
+                             types=state.evt_type, counts=state.n_evt)
+        return photons, events
     return photons
 
 
