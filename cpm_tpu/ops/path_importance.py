@@ -160,6 +160,17 @@ def photon_path_importance(importance_grid: UniformGrid3D,
     x2 = e2 * vol_dim
     x1 = jnp.where(sv[:, None], x1, 0.0)
     x2 = jnp.where(sv[:, None], x2, 0.0)
+    if mode == "quadrature_mxu":
+        # The one-hot matmul materializes a (K*M, gz*gy) operand: a huge
+        # win at interactive scale (65k photons, 16^3 grid: ~1 GB of MXU
+        # traffic beats 2M serial gathers 4.5x) but quadratic-in-scale —
+        # at 4M photons over a 64^3 grid it would plan 34 GB (round-5
+        # OOM). Static-shape dispatch: past ~4e9 one-hot elements the
+        # serial-gather quadrature is both smaller and faster.
+        onehot_elems = (n_samples * x1.shape[0]) * (grid.shape[0]
+                                                    * grid.shape[1])
+        if onehot_elems > (1 << 32):
+            mode = "quadrature"
     if mode == "quadrature":
         seg_imp = grid_segment_integral_quadrature(grid, x1, x2, cell_dim,
                                                    n_samples)

@@ -59,7 +59,7 @@ from cpm_tpu.core.types import (LightSamples, PhotonData, TransferFunction,
 from cpm_tpu.ops import intersect, majorant as majorant_mod, rng
 from cpm_tpu.ops import phase as phase_mod
 from cpm_tpu.ops.sampling import (brick_row_index, brick_slots,
-                                  brick_weights, pack_bricks)
+                                  brick_weights, brick_width)
 
 Array = jnp.ndarray
 
@@ -148,6 +148,108 @@ def _stage_widths(n: int, enabled: bool, min_width: int = 2048):
     return widths
 
 
+class TraceTables(NamedTuple):
+    """Volume-derived lookup tables the tracer hot loop reads: the packed
+    brick rows (corners + majorant + skip distance), the global majorant
+    and the safely-skippable cell extent. Build ONCE per (volume, TF)
+    change with :func:`build_trace_tables` and pass to every trace over
+    the same scene — at 512^3 the 5+ GB brick table must not be rebuilt
+    inside each chunk's jit (round-5 OOM)."""
+
+    packed: Array  # (rows, brick_width)
+    maj_global: Array  # () opacity-scale global majorant (incl. tau_max)
+    cell_min_ext: Array  # () texture extent of one skippable cell
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _majorant_grids(volume: Volume, tf: TransferFunction,
+                    config: TracerConfig):
+    if config.use_majorant_grid:
+        maj = majorant_mod.build_majorant_grid(
+            volume, tf, config.majorant_cell_size, config.block_ring)
+    else:
+        maj = jnp.full((1, 1, 1), jnp.float32(1.0))
+    gz, gy, gx = maj.shape
+    gdim = jnp.array([gx, gy, gz], jnp.float32)
+    maj = maj * jnp.float32(config.tau_max)
+    dist = majorant_mod.empty_distance_grid(maj, cap=config.empty_jump_cap)
+    return maj, dist, jnp.max(maj), jnp.float32(1.0) / jnp.max(gdim)
+
+
+@partial(jax.jit, static_argnames=("scale",), donate_argnums=(0,))
+def _pack_slab_into(table: Array, vpad_slab: Array, xtr_slab: Array,
+                    scale: int, row0: Array) -> Array:
+    """Pack one pre-padded z-slab of brick windows into ``table`` rows
+    [row0, row0 + slab_rows) — donated, so the multi-GB table updates in
+    place across the host chunk loop."""
+    k = scale
+    cz = (vpad_slab.shape[0] - k) // k
+    h2 = (vpad_slab.shape[1] - k) // k
+    w2 = (vpad_slab.shape[2] - k) // k
+    patches = jax.lax.conv_general_dilated_patches(
+        vpad_slab[None, None], filter_shape=(2 * k, 2 * k, 2 * k),
+        window_strides=(k, k, k), padding="VALID")
+    rows = jnp.moveaxis(patches[0], 0, -1)  # (cz, h2, w2, 8k^3)
+    pad = jnp.zeros(rows.shape[:3] + (
+        brick_width(k) - brick_slots(k) - xtr_slab.shape[-1],), rows.dtype)
+    rows = jnp.concatenate([rows, xtr_slab, pad], axis=-1)
+    return jax.lax.dynamic_update_slice(
+        table, rows.reshape(cz * h2 * w2, brick_width(k)), (row0, 0))
+
+
+def build_trace_tables(volume: Volume, tf: TransferFunction,
+                       config: TracerConfig,
+                       max_slab_bytes: int = 1 << 29) -> TraceTables:
+    """Macrocell majorants + empty-space distances + packed brick rows.
+
+    ONE row-gather per wavefront iteration: TPU gather throughput is per
+    index and scales with table ROW COUNT (utils/benchmark.py protocol,
+    round 4: 2^18 rows -> 143 M rows/s vs 2^21 rows -> 74 M rows/s), so
+    the volume is packed as 1/scale-resolution bricks of window corners
+    plus the local macrocell majorant and skip distance — any trilinear
+    stencil inside the brick plus next iteration's majorant ride one
+    fetch.
+
+    Host-orchestrated in z-slab chunks with a DONATED table buffer: the
+    monolithic build's patch temporaries alone are ~8x the volume, which
+    at 512^3 exhausts HBM next to the 5.4 GB table itself (round-5 OOM);
+    chunking bounds the transient footprint to ``max_slab_bytes`` per
+    step. Small volumes take a single chunk (identical result).
+    """
+    k = config.brick_scale
+    assert config.majorant_cell_size >= k, (
+        "majorant dilation (+-1 cell) must cover the brick base-voxel "
+        "quantization (brick_scale voxels)")
+    maj, dist, maj_global, cell_min_ext = _majorant_grids(volume, tf,
+                                                          config)
+    d_, h_, w_ = volume.data.shape
+    gz, gy, gx = maj.shape
+    d2, h2, w2 = -(-d_ // k), -(-h_ // k), -(-w_ // k)
+    reps = [-(-s // g) for s, g in ((d_, gz), (h_, gy), (w_, gx))]
+
+    # Per-brick extra columns (majorant, skip distance) sampled at the
+    # brick base voxel: direct coarse-grid indexing, no voxel-res copy.
+    iz = jnp.minimum((jnp.arange(d2) * k) // reps[0], gz - 1)
+    iy = jnp.minimum((jnp.arange(h2) * k) // reps[1], gy - 1)
+    ix = jnp.minimum((jnp.arange(w2) * k) // reps[2], gx - 1)
+    xtr = jnp.stack([maj, dist], axis=-1)[jnp.ix_(iz, iy, ix)]
+
+    vpad = jnp.pad(volume.data,
+                   ((0, k * d2 - d_ + k), (0, k * h2 - h_ + k),
+                    (0, k * w2 - w_ + k)), mode="edge")
+
+    bytes_per_zplane = 8 * k ** 3 * h2 * w2 * 4
+    cz = max(1, min(d2, max_slab_bytes // max(bytes_per_zplane, 1)))
+    table = jnp.zeros((d2 * h2 * w2, brick_width(k)), jnp.float32)
+    for z0 in range(0, d2, cz):
+        z1 = min(z0 + cz, d2)
+        table = _pack_slab_into(
+            table, vpad[z0 * k:z1 * k + k], xtr[z0:z1],
+            k, jnp.int32(z0 * h2 * w2))
+    return TraceTables(packed=table, maj_global=maj_global,
+                       cell_min_ext=cell_min_ext)
+
+
 @partial(jax.jit,
          static_argnames=("config", "return_stats", "record_events"))
 def trace_photons(volume: Volume, tf: TransferFunction,
@@ -156,7 +258,8 @@ def trace_photons(volume: Volume, tf: TransferFunction,
                   config: TracerConfig,
                   lane_ids: Array | None = None,
                   return_stats: bool = False,
-                  record_events: int = 0) -> PhotonData:
+                  record_events: int = 0,
+                  tables: TraceTables | None = None) -> PhotonData:
     """Trace all light samples; returns a fresh PhotonData (radius fields
     default-initialized — the pipeline layer owns the progressive state).
 
@@ -181,46 +284,17 @@ def trace_photons(volume: Volume, tf: TransferFunction,
         lane_ids = jnp.arange(n, dtype=jnp.int32)
     key0, key1 = rng.key_words(base_key)
 
-    if config.use_majorant_grid:
-        maj = majorant_mod.build_majorant_grid(
-            volume, tf, config.majorant_cell_size, config.block_ring)
-    else:
-        maj = jnp.full((1, 1, 1), jnp.float32(1.0))
-    gz, gy, gx = maj.shape
-    gdim = jnp.array([gx, gy, gz], jnp.float32)
-    maj = maj * jnp.float32(config.tau_max)
-    maj_global = jnp.max(maj)
+    if tables is None:
+        tables = build_trace_tables(volume, tf, config)
+    packed, maj_global, cell_min_ext = tables
 
     sbi = jnp.float32(constants.SAMPLING_BASE_INTERVAL_RCP)
-    # ONE row-gather per wavefront iteration: TPU gather throughput is per
-    # index and scales with table ROW COUNT (utils/benchmark.py protocol,
-    # round 4: 2^18 rows -> 143 M rows/s vs 2^21 rows -> 74 M rows/s), so
-    # the volume is packed as HALF-RESOLUTION bricks of 27 corners plus the
-    # local macrocell majorant in column 27 — any trilinear stencil inside
-    # the brick plus next iteration's majorant ride one fetch.
     vol_shape = volume.data.shape
     d_, h_, w_ = vol_shape
-    reps = [-(-s // g) for s, g in ((d_, gz), (h_, gy), (w_, gx))]
-    dist = majorant_mod.empty_distance_grid(maj, cap=config.empty_jump_cap)
-    # Texture-space length of one safely skippable cell (min over axes).
-    cell_min_ext = jnp.float32(1.0) / jnp.max(gdim)
-
-    def upsample(g):
-        return jnp.repeat(jnp.repeat(jnp.repeat(
-            g, reps[0], 0), reps[1], 1), reps[2], 2)[:d_, :h_, :w_]
-
-    maj_vox = upsample(maj)
-    dist_vox = upsample(dist)
     vdims = jnp.array([w_, h_, d_], jnp.float32)  # voxels (x, y, z)
     cell_vox = jnp.int32(config.majorant_cell_size)
     cell_ext = cell_vox.astype(jnp.float32) / vdims  # cell extent, texture
     scale = config.brick_scale
-    assert config.majorant_cell_size >= scale, (
-        "majorant dilation (+-1 cell) must cover the brick base-voxel "
-        "quantization (brick_scale voxels)")
-    packed = pack_bricks(volume.data,
-                         jnp.stack([maj_vox, dist_vox], axis=-1),
-                         scale=scale)
     n_slots = brick_slots(scale)
     dim_max = max(volume.data.shape)
     step_size = jnp.float32(1.0 / (config.sampling_rate * dim_max))
@@ -546,6 +620,10 @@ def trace_photons_chunked(volume: Volume, tf: TransferFunction,
         return trace_photons(volume, tf, tf_scattering, light_samples,
                              base_key, config, lane_ids=lane_ids)
     assert n % chunk == 0, (n, chunk)
+    # Build the (possibly multi-GB) lookup tables ONCE, outside the
+    # per-chunk jits: rebuilding them inside every chunk both wastes
+    # bandwidth and doubles peak memory at 512^3 (round-5 OOM).
+    tables = build_trace_tables(volume, tf, config)
     outs = []
     for i in range(n // chunk):
         sl = slice(i * chunk, (i + 1) * chunk)
@@ -558,7 +636,7 @@ def trace_photons_chunked(volume: Volume, tf: TransferFunction,
         ids = (lane_ids[sl] if lane_ids is not None
                else jnp.arange(i * chunk, (i + 1) * chunk, dtype=jnp.int32))
         outs.append(trace_photons(volume, tf, tf_scattering, sub, base_key,
-                                  config, lane_ids=ids))
+                                  config, lane_ids=ids, tables=tables))
     first = outs[0]
     return first.replace(
         positions=jnp.concatenate([o.positions for o in outs], axis=1),

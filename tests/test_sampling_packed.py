@@ -55,3 +55,42 @@ def test_packed_edge_rows():
     # Row for cell (0,0,0) enumerates the full cube in k=dz*4+dy*2+dx order.
     np.testing.assert_allclose(np.asarray(packed[0]),
                                [0, 1, 2, 3, 4, 5, 6, 7])
+
+
+def test_chunked_table_build_matches_pack_bricks():
+    """build_trace_tables' donated z-slab chunk build == the one-shot
+    pack_bricks layout (and forcing many tiny slabs changes nothing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cpm_tpu.core.config import TracerConfig
+    from cpm_tpu.core.types import TransferFunction, Volume
+    from cpm_tpu.io import synthetic
+    from cpm_tpu.ops import majorant as mj
+    from cpm_tpu.ops import tracer as tr
+    from cpm_tpu.ops.sampling import pack_bricks
+
+    vol = Volume.from_data(synthetic.smoke_cloud(24, seed=1))
+    tf = TransferFunction.from_points(*synthetic.default_tf_points())
+    cfg = TracerConfig(max_interactions=1, brick_scale=2)
+
+    t_big = tr.build_trace_tables(vol, tf, cfg)
+    t_small = tr.build_trace_tables(vol, tf, cfg, max_slab_bytes=1 << 14)
+    np.testing.assert_array_equal(np.asarray(t_big.packed),
+                                  np.asarray(t_small.packed))
+
+    # Equivalence with the reference one-shot packer (same extras).
+    maj, dist, mg, cme = tr._majorant_grids(vol, tf, cfg)
+    d, h, w = vol.data.shape
+    gz, gy, gx = maj.shape
+    reps = [-(-s // g) for s, g in ((d, gz), (h, gy), (w, gx))]
+
+    def upsample(g):
+        return jnp.repeat(jnp.repeat(jnp.repeat(
+            g, reps[0], 0), reps[1], 1), reps[2], 2)[:d, :h, :w]
+
+    ref = pack_bricks(vol.data,
+                      jnp.stack([upsample(maj), upsample(dist)], axis=-1),
+                      scale=2)
+    np.testing.assert_allclose(np.asarray(t_big.packed), np.asarray(ref),
+                               rtol=0, atol=0)
