@@ -659,17 +659,34 @@ def merge_recomputed(photons: PhotonData, new: PhotonData,
     n = photons.n
     # Invalid (padding) lanes scatter out of bounds and are dropped.
     safe_idx = jnp.where(valid, indices, n)
+    max_i = photons.positions.shape[0]
 
-    def scat(full, sub):
-        return full.at[:, safe_idx].set(sub, mode="drop")
+    # ONE lane-major row scatter instead of five interaction-major
+    # column scatters: XLA lowers .at[:, idx] on an (I, N, C) buffer ~3x
+    # slower than a row scatter on the (N, I*C) transpose (measured
+    # round 5: 284 -> 98 ms for 420k of 4.2M lanes), and packing all
+    # interaction fields into one row halves it again.
+    def pack(ph, m):
+        big = jnp.concatenate([ph.positions, ph.powers, ph.directions],
+                              axis=-1)  # (I, m, 8)
+        return jnp.swapaxes(big, 0, 1).reshape(m, max_i * 8)
 
-    def scat1(full, sub):
-        return full.at[safe_idx].set(sub, mode="drop")
+    b = indices.shape[0]
+    merged = pack(photons, n).at[safe_idx].set(pack(new, b), mode="drop")
+    merged = jnp.swapaxes(merged.reshape(n, max_i, 8), 0, 1)
+
+    exits_full = jnp.concatenate(
+        [photons.exit_power[:, None].astype(jnp.float32),
+         photons.exit_direction.astype(jnp.float32)], axis=-1)
+    exits_new = jnp.concatenate(
+        [new.exit_power[:, None].astype(jnp.float32),
+         new.exit_direction.astype(jnp.float32)], axis=-1)
+    exits = exits_full.at[safe_idx].set(exits_new, mode="drop")
 
     return photons.replace(
-        positions=scat(photons.positions, new.positions),
-        powers=scat(photons.powers, new.powers),
-        directions=scat(photons.directions, new.directions),
-        exit_power=scat1(photons.exit_power, new.exit_power),
-        exit_direction=scat1(photons.exit_direction, new.exit_direction),
+        positions=merged[..., 0:3],
+        powers=merged[..., 3:6],
+        directions=merged[..., 6:8],
+        exit_power=exits[:, 0].astype(photons.exit_power.dtype),
+        exit_direction=exits[:, 1:3].astype(photons.exit_direction.dtype),
     )
