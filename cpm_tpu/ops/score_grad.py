@@ -87,20 +87,35 @@ def log_prob_lanes(events: TraceEvents, volume: Volume, tf: TransferFunction,
 def make_surrogate(volume: Volume, tf: TransferFunction,
                    tf_scattering: TransferFunction,
                    light_samples: LightSamples, photons: PhotonData,
-                   events: TraceEvents, loss_from_deposits):
+                   events: TraceEvents, loss_from_deposits,
+                   loss_takes_scene: bool = False):
     """Build ``surrogate(volume, tf, tf_scattering, light_samples)`` whose
     jax.grad is the FULL (pathwise + trajectory) gradient estimator of
     ``E[loss_from_deposits(replayed deposits)]``.
 
     ``loss_from_deposits`` maps the (I, N, 3) deposit powers to a scalar
     (typically splat -> render -> image loss; everything downstream of the
-    deposits is already reverse-differentiable). The per-lane score weights
+    deposits is already reverse-differentiable). With
+    ``loss_takes_scene=True`` it is called as
+    ``loss(dep, volume, tf, tf_scattering, light_samples)`` so the scene
+    parameters' DIRECT influence on the loss (e.g. the render-side TF
+    classification of the camera pass) also flows — omitting it silently
+    drops that gradient term. The per-lane score weights
     λ_lane = Σ_i (∂L/∂d_i) · d_i are evaluated once at the build point
     (first-order surrogate, the standard REINFORCE construction).
     """
+    if loss_takes_scene:
+        def loss_fn(dep, v, t, s, l):
+            return loss_from_deposits(dep, v, t, s, l)
+    else:
+        def loss_fn(dep, v, t, s, l):
+            return loss_from_deposits(dep)
+
     dep0 = replay_mod.replay_powers(volume, tf, tf_scattering, photons,
                                     light_samples)
-    _, pullback = jax.vjp(loss_from_deposits, dep0)
+    _, pullback = jax.vjp(
+        lambda d: loss_fn(d, volume, tf, tf_scattering, light_samples),
+        dep0)
     cot = pullback(jnp.float32(1.0))[0]  # (I, N, 3)
     w_lane = jax.lax.stop_gradient(jnp.sum(cot * dep0, axis=(0, 2)))  # (N,)
 
@@ -108,7 +123,8 @@ def make_surrogate(volume: Volume, tf: TransferFunction,
         dep = replay_mod.replay_powers(volume_, tf_, tf_scattering_,
                                        photons, light_samples_)
         lp = log_prob_lanes(events, volume_, tf_, tf_scattering_)
-        return loss_from_deposits(dep) + jnp.sum(w_lane * lp)
+        return (loss_fn(dep, volume_, tf_, tf_scattering_, light_samples_)
+                + jnp.sum(w_lane * lp))
 
     return surrogate
 
