@@ -235,6 +235,46 @@ def progressive_step(scene: Scene, state: PhotonMapState,
                          light_volume_accum=accum)
 
 
+def progressive_step_guided(scene: Scene, state: PhotonMapState,
+                            config: PipelineConfig,
+                            guide: Array | None = None,
+                            light_index: int = 0,
+                            floor: float = 0.25):
+    """Progressive tick with self-ADAPTIVE guided emission.
+
+    Each wave re-emits its sample grid warped by the CONTRIBUTION guide
+    measured from the previous wave (ops/emit.py:emission_guide_from_wave
+    + ops/sampling.py:warp_samples_2d) and returns the next wave's guide —
+    the progressive-refinement form of importance-guided emission (north
+    star; measured on the config-3 CT head: 1.33x equal-photon variance
+    reduction). Adaptivity uses only PAST waves, so every wave is
+    conditionally unbiased and the progressive average stays unbiased
+    (the classic two-pass adaptive-IS argument). Pass ``guide=None`` for
+    the first (pilot) wave.
+
+    Returns (new_state, next_guide). Single directional light only.
+    """
+    from cpm_tpu.core import lights as L
+
+    light = scene.lights[light_index]
+    if light.type != L.DIRECTIONAL:
+        raise ValueError("guided progressive refinement currently supports "
+                         "directional lights")
+    grid = sampling.stratified_grid_2d(config.photons_x, config.photons_y)
+    if guide is not None:
+        grid = sampling.warp_samples_2d(grid, guide, floor=floor)
+    iteration = state.photons.iteration + 1
+    ls = emit_mod.emit(light, grid,
+                       key=jax.random.fold_in(state.key, iteration),
+                       iteration=iteration)
+    new_state = progressive_step(
+        scene, state.replace(light_samples=ls), config)
+    n_g = config.guide_resolution
+    next_guide = emit_mod.emission_guide_from_wave(
+        grid[:, 0:2], grid[:, 3], new_state.photons.powers, n_g, n_g)
+    return new_state, next_guide
+
+
 # ---------------------------------------------------------------------------
 # Correlated selective recomputation
 # ---------------------------------------------------------------------------

@@ -183,3 +183,38 @@ class TestAdaptiveGuide:
         tot_u = np.mean([x.sum() for x in lv_u])
         tot_g = np.mean([x.sum() for x in lv_g])
         assert abs(tot_g - tot_u) / tot_u < 0.15
+
+
+class TestProgressiveGuided:
+    def test_progressive_adaptive_refinement_unbiased(self):
+        """progressive_step_guided: guide concentrates on the contributing
+        region, each wave's energy stays unbiased vs uniform refinement,
+        and the accumulator keeps averaging."""
+        from dataclasses import replace
+
+        scene = _scene()
+        cfg = PipelineConfig(
+            photons_x=48, photons_y=48,
+            tracer=TracerConfig(max_interactions=2, max_steps=2500),
+            render=RenderConfig(width=8, height=8),
+            guide_resolution=16)
+        st_g = pstep.full_trace_step(scene, pstep.init_state(scene, cfg),
+                                     cfg)
+        st_u = st_g
+
+        guide = None
+        for _ in range(3):
+            st_g, guide = pstep.progressive_step_guided(scene, st_g, cfg,
+                                                        guide=guide)
+        for _ in range(3):
+            st_u = pstep.progressive_step(scene, st_u, cfg)
+
+        g = np.asarray(guide)
+        assert g.max() > 0
+        # The blob only covers part of the plane: contribution concentrates.
+        assert 0 < (g > 0.5 * g.max()).mean() < 0.5
+
+        tot_g = float(jnp.sum(st_g.light_volume_accum))
+        tot_u = float(jnp.sum(st_u.light_volume_accum))
+        assert abs(tot_g - tot_u) / max(tot_u, 1e-9) < 0.2
+        assert int(st_g.photons.iteration) == 3
