@@ -279,6 +279,67 @@ def run_config3(reps: int):
     }))
 
 
+def run_config2(reps: int):
+    """BASELINE config 2: 128^3 smoke volume, 256k photons, progressive
+    accumulation over 16 passes — per-pass latency plus the accumulator's
+    noise decay (the progressive-refinement contract: relative wave-to-
+    wave change of the running average shrinks ~1/n)."""
+    import numpy as np
+
+    from cpm_tpu.pipeline import step as pstep
+    from cpm_tpu.utils.benchmark import readback
+
+    import time as _time
+
+    scene, config = build(128, (512, 512), 4, width=512)
+    state = pstep.full_trace_step(scene, pstep.init_state(scene, config),
+                                  config)
+    readback(state.light_volume)
+    # Warm the progressive-step compile outside the timed region.
+    state = pstep.progressive_step(scene, state, config)
+    readback(state.light_volume)
+
+    n_pass = 16
+
+    @jax.jit
+    def step_delta(s, prev):
+        # Delta computed IN-JIT: even a single eager jnp op between
+        # dispatches costs ~100+ ms on the axon tunnel (round-5 finding).
+        s2 = pstep.progressive_step(scene, s, config)
+        acc = s2.light_volume_accum
+        d = (jnp.sum(jnp.abs(acc - prev))
+             / jnp.maximum(jnp.sum(jnp.abs(acc)), 1e-9))
+        return s2, acc, d
+
+    state, prev, _ = step_delta(state, state.light_volume_accum)
+    readback(prev)  # warm the fused step+delta compile
+    deltas = []
+    t0 = _time.perf_counter()
+    for _ in range(n_pass):
+        state, prev, d = step_delta(state, prev)
+        deltas.append(d)
+    deltas = [float(x) for x in np.asarray(jnp.stack(deltas))]
+    per_pass = (_time.perf_counter() - t0) / n_pass
+    n = state.photons.n
+    metrics = {
+        "pass_ms": round(per_pass * 1e3, 2),
+        "mphotons_s": round(n / per_pass / 1e6, 3),
+        "passes": n_pass,
+        "first_pass_rel_change": round(deltas[0], 4),
+        "last_pass_rel_change": round(deltas[-1], 4),
+        "monotone_converging": bool(deltas[-1] < deltas[0]),
+    }
+    print(json.dumps({
+        "metric": "progressive_pass_throughput",
+        "value": metrics["mphotons_s"],
+        "unit": "Mphotons/s per progressive pass (256k photons, 16 passes)",
+        "vs_baseline": metrics["mphotons_s"],
+        "config": {"volume": 128, "photons": n, "max_interactions": 4,
+                   "passes": n_pass},
+        "metrics": metrics,
+    }))
+
+
 def run_config4(reps: int):
     """BASELINE config 4: time-varying 128^3 x 32-step sequence played with
     correlated selective recomputation vs full retraces — per-step latency
@@ -391,6 +452,9 @@ def main():
     ap.add_argument("--large512", action="store_true",
                     help="BASELINE config 5 AS WRITTEN: 512^3, 2 lights, "
                          "4M photons, 1024^2 (single-chip slice)")
+    ap.add_argument("--config2", action="store_true",
+                    help="BASELINE config 2: 256k photons, 16 progressive "
+                         "passes (config 1 = examples/render_sphere.py)")
     ap.add_argument("--config3", action="store_true",
                     help="BASELINE config 3: 256^3 CT head, guided emission")
     ap.add_argument("--config4", action="store_true",
@@ -424,6 +488,9 @@ def main():
         scene, config = build(512, (2048, 1024), 4, width=1024, n_lights=2)
         config = _dcr(config, tracer=_dcr(config.tracer, brick_scale=4))
         run_large(scene, config, args.reps)
+        return
+    if args.config2:
+        run_config2(args.reps)
         return
     if args.config3:
         run_config3(args.reps)
