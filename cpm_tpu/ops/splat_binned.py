@@ -58,6 +58,21 @@ def _tile_counts(nt: tuple) -> int:
     return nt[0] * nt[1] * nt[2]
 
 
+@jax.jit
+def _pack_deposits(positions: Array, powers: Array, scale: Array) -> Array:
+    """(M, 8) [pos3 | scaled pow3 | 0 0] deposit rows, built IN-JIT: the
+    eager concat + scalar-multiply cost ~0.5 s of tunnel overhead per
+    call when done between dispatches (round-5 eager-op calibration).
+    ``scale`` is the raw user scale; the product-kernel match factor is
+    applied here so no scalar math happens eagerly."""
+    m = positions.shape[0]
+    s = jnp.asarray(scale, jnp.float32) * jnp.float32(PRODUCT_KERNEL_MATCH)
+    return jnp.concatenate(
+        [positions.astype(jnp.float32),
+         powers.astype(jnp.float32) * s,
+         jnp.zeros((m, 2), jnp.float32)], axis=1)
+
+
 @partial(jax.jit, static_argnames=("dims", "nt"))
 def _sort_by_tile(positions: Array, radius_rel: Array, dims: tuple,
                   nt: tuple):
@@ -206,12 +221,10 @@ def splat_binned_flat(positions: Array, powers: Array, radius_rel,
         raise ValueError(f"footprint {footprint} > tile {TILE}")
     nt = (-(-d // TILE), -(-h // TILE), -(-w // TILE))
     n_tiles = _tile_counts(nt)
-    radius_rel = jnp.asarray(radius_rel, jnp.float32)
-    scale = jnp.asarray(scale, jnp.float32) * jnp.float32(
-        PRODUCT_KERNEL_MATCH)
 
     sorted_keys, order = _sort_by_tile(positions, radius_rel, out_dim, nt)
     seg_start = _segment_starts(sorted_keys, n_tiles)
+    data8 = _pack_deposits(positions, powers, scale)
     counts = np.asarray(seg_start)
     counts = counts[1:] - counts[:-1]  # host histogram (tiny readback)
 
@@ -221,9 +234,6 @@ def splat_binned_flat(positions: Array, powers: Array, radius_rel,
         for base in range(0, int(counts[t]), k_cap):
             tiles_l.append(t)
             bases_l.append(base)
-    data8 = jnp.concatenate(
-        [positions.astype(jnp.float32), powers.astype(jnp.float32) * scale,
-         jnp.zeros((positions.shape[0], 2), jnp.float32)], axis=1)
 
     acc = jnp.zeros((n_tiles, he * he * he * 3), jnp.float32)
     n_items = len(tiles_l)
@@ -242,16 +252,25 @@ def splat_binned_flat(positions: Array, powers: Array, radius_rel,
     return _combine(acc, out_dim, nt, he)
 
 
+@partial(jax.jit, static_argnames=("n_total",))
+def _flatten_photons(photons: PhotonData, n_total: int):
+    """In-jit flatten + irradiance-scale computation (eager scalar ops
+    cost ~86 ms each on the axon tunnel — round-5 calibration)."""
+    i, n, _ = photons.positions.shape
+    pos = photons.positions.reshape(i * n, 3).astype(jnp.float32)
+    pow_ = photons.powers.reshape(i * n, 3).astype(jnp.float32)
+    scale = (jnp.float32(constants.ISOTROPIC_PHASE)
+             * relative_irradiance_scale(n_total, photons.radius_rel))
+    return pos, pow_, scale
+
+
 def splat_all_binned(photons: PhotonData, out_dim: tuple,
                      footprint: int = 4, n_total: int | None = None,
                      k_cap: int = 4096) -> Array:
     """Full-photon-map binned splat (the scalable twin of
     :func:`cpm_tpu.ops.splat.splat_all`); see module docstring."""
-    i, n, _ = photons.positions.shape
-    pos = photons.positions.reshape(i * n, 3).astype(jnp.float32)
-    pow_ = photons.powers.reshape(i * n, 3).astype(jnp.float32)
-    scale = (jnp.float32(constants.ISOTROPIC_PHASE)
-             * relative_irradiance_scale(
-                 n_total if n_total is not None else n, photons.radius_rel))
+    n = photons.positions.shape[1]
+    pos, pow_, scale = _flatten_photons(
+        photons, n_total if n_total is not None else n)
     return splat_binned_flat(pos, pow_, photons.radius_rel, scale, out_dim,
                              footprint, k_cap=k_cap)

@@ -466,7 +466,9 @@ def _correlated_select(scene: Scene, state: PhotonMapState,
 @jax.jit
 def _gather_selected_flat(photons: PhotonData, indices: Array, valid: Array):
     """Flatten the selected photons' deposits for the binned splat:
-    invalid lanes become position sentinels (masked inside the splat)."""
+    invalid lanes become position sentinels (masked inside the splat).
+    Also returns the irradiance scale, computed IN-JIT (eager scalar math
+    costs ~86 ms/op on the axon tunnel — round-5 calibration)."""
     i = photons.positions.shape[0]
     b = indices.shape[0]
     safe = jnp.where(valid, indices, 0)
@@ -474,7 +476,24 @@ def _gather_selected_flat(photons: PhotonData, indices: Array, valid: Array):
     pw = photons.powers[:, safe].reshape(i * b, 3).astype(jnp.float32)
     lane_ok = jnp.broadcast_to(valid[None, :], (i, b)).reshape(i * b)
     pos = jnp.where(lane_ok[:, None], pos, jnp.float32(constants.FLT_MAX))
-    return pos, pw
+    from cpm_tpu.core.types import relative_irradiance_scale
+    scale = (jnp.float32(constants.ISOTROPIC_PHASE)
+             * relative_irradiance_scale(photons.n, photons.radius_rel))
+    return pos, pw, scale
+
+
+@jax.jit
+def _apply_delta_and_flags(light_volume: Array, removed: Array,
+                           added: Array, retraced: Array, indices: Array,
+                           valid: Array, n_remaining: Array):
+    """In-jit finalize of the scalable correlated update (the eager
+    elementwise/scatter chain otherwise pays per-op tunnel overhead)."""
+    lv = light_volume - removed + added
+    n = retraced.shape[0]
+    drop_invalid = jnp.where(valid, indices, n)
+    r2 = retraced.at[drop_invalid].set(True, mode="drop")
+    r2 = jnp.where(n_remaining > 0, r2, jnp.zeros_like(r2))
+    return lv, r2
 
 
 def correlated_step_scalable(scene: Scene, state: PhotonMapState,
@@ -509,27 +528,20 @@ def correlated_step_scalable(scene: Scene, state: PhotonMapState,
                       iteration=jnp.int32(0))
     merged = tracer.merge_recomputed(photons, new, indices, valid)
 
-    from cpm_tpu.core.types import relative_irradiance_scale
-
     dim = light_volume_shape(config)
     fp = splat_footprint(config)
-    scale = (jnp.float32(constants.ISOTROPIC_PHASE)
-             * relative_irradiance_scale(photons.n, photons.radius_rel))
-    old_pos, old_pw = _gather_selected_flat(photons, indices, valid)
-    new_pos, new_pw = _gather_selected_flat(merged, indices, valid)
+    old_pos, old_pw, scale = _gather_selected_flat(photons, indices, valid)
+    new_pos, new_pw, _ = _gather_selected_flat(merged, indices, valid)
     removed = splat_binned.splat_binned_flat(
         old_pos, old_pw, photons.radius_rel, scale, dim, fp)
     added = splat_binned.splat_binned_flat(
         new_pos, new_pw, photons.radius_rel, scale, dim, fp)
-    lv = state.light_volume - removed + added
-
-    drop_invalid = jnp.where(valid, indices, photons.n)
-    retraced = state.retraced.at[drop_invalid].set(True, mode="drop")
+    lv, retraced = _apply_delta_and_flags(
+        state.light_volume, removed, added, state.retraced, indices, valid,
+        n_remaining)
     return state.replace(
         photons=merged, light_volume=lv, light_volume_accum=lv,
-        retraced=jnp.where(n_remaining > 0, retraced,
-                           jnp.zeros_like(retraced)),
-        n_remaining=n_remaining,
+        retraced=retraced, n_remaining=n_remaining,
         recompute_phase=state.recompute_phase + 1)
 
 
