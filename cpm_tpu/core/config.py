@@ -112,7 +112,9 @@ class RecomputeConfig:
     # importance grid with the lookups recast as one-hot MXU matmuls —
     # identical ranking to "quadrature", ~4 ms vs ~18 ms per correlated
     # frame at 65k photons (the gather path costs ~8.5 ns/lookup on the
-    # v5e regardless of table size; round-5 measurement).
+    # v5e regardless of table size; round-5 measurement). Auto-falls back
+    # to "quadrature" past ~4e9 one-hot elements (static-shape check in
+    # ops/path_importance.py — the operand is O(samples x grid cells)).
     # "quadrature": the same midpoint rule via XLA gathers.
     # "dda": exact Amanatides-Woo traversal (reference parity,
     # photonrecomputationdetector.cl:55-90) — guarantees no crossed cell is
